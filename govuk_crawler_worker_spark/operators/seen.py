@@ -1,0 +1,218 @@
+"""URL-seen membership: distributed Bloom filter + cuckoo fallback.
+
+Replaces the reference's Redis TTL hash set (ttl_hash_set/ttl_hash_set.go:
+57-189, keys ``prefix:md5(url)`` :202-204) with, per the north rule:
+
+* identity  = ``xxhash64(canonicalize(url))`` — computed JVM-side
+  (``F.xxhash64``), never in Python;
+* a **Bloom pre-filter** over the enqueued seen set, probed by a vectorized
+  pandas UDF, that cheaply drops the (vast at 10^10-URL scale) majority of
+  already-seen outlink candidates BEFORE the exact anti-join — cutting the
+  shuffle volume of the dedup join;
+* a **cuckoo filter** fallback supporting deletion, needed because the
+  ``Set(url, ReadyToEnqueue)`` reset on non-accepted content types
+  (workflow.go:136) removes membership — bloom cannot unlearn;
+* **exactness guaranteed by construction**: filters only PRE-filter.  Bloom
+  false positives would wrongly drop frontier candidates, so every candidate
+  surviving (or flagged by) the pre-filter is confirmed with an exact
+  left-anti join against the seen table.  The filters are pure bandwidth
+  optimizations; correctness never depends on them.
+
+Scale design: the filter is built distributed — ``mapInPandas`` produces one
+partial bitmap per partition, the driver ORs the (few, fixed-size) partials
+and broadcasts the result.  At 10^10 URLs, segment the filter per seen-table
+generation/partition and probe the OR; the partial-OR pattern below is
+exactly that, capped here at one segment for the sandbox.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+
+def _positions(hashes: np.ndarray, k: int, n_bits: int) -> np.ndarray:
+    """k probe positions per hash via splitmix64-style remixing (vectorized).
+
+    Double hashing g_i = h1 + i*h2 over uint64, mod n_bits.
+    """
+    h = hashes.astype(np.uint64)
+    z = (h + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    h2 = z * np.uint64(0x94D049BB133111EB) | np.uint64(1)
+    idx = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h[None, :] + idx * h2[None, :]) % np.uint64(n_bits)).astype(np.int64)
+
+
+class BloomFilter:
+    def __init__(self, n_bits: int, k: int, bits: np.ndarray | None = None):
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = bits if bits is not None else np.zeros(n_bits // 8 + 1, dtype=np.uint8)
+
+    @classmethod
+    def sized_for(cls, n_items: int, fpp: float = 0.01) -> "BloomFilter":
+        n_items = max(n_items, 1)
+        n_bits = max(64, int(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+        k = max(1, round(n_bits / n_items * math.log(2)))
+        return cls(n_bits, k)
+
+    def add_many(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        pos = _positions(np.asarray(hashes, dtype=np.int64), self.k, self.n_bits)
+        np.bitwise_or.at(self.bits, pos.ravel() // 8, (1 << (pos.ravel() % 8)).astype(np.uint8))
+
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = _positions(np.asarray(hashes, dtype=np.int64), self.k, self.n_bits)
+        hit = (self.bits[pos // 8] >> (pos % 8)) & 1
+        return hit.all(axis=0).astype(bool)
+
+    def to_bytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, n_bits: int, k: int) -> "BloomFilter":
+        return cls(n_bits, k, np.frombuffer(data, dtype=np.uint8).copy())
+
+
+def build_bloom_distributed(
+    df: DataFrame, hash_col: str, n_items_estimate: int, fpp: float = 0.01
+) -> BloomFilter:
+    """OR-reduce per-partition partial bitmaps (the distributed build path).
+
+    Each partition builds a fixed-size partial via mapInPandas; the driver
+    ORs them.  Collected data = n_partitions × bitmap size, never row data.
+    """
+    proto = BloomFilter.sized_for(n_items_estimate, fpp)
+    n_bits, k = proto.n_bits, proto.k
+
+    def partials(batches):
+        bf = BloomFilter(n_bits, k)
+        saw = False
+        for pdf in batches:
+            saw = True
+            bf.add_many(pdf[hash_col].to_numpy(dtype=np.int64))
+        if saw:
+            yield pd.DataFrame({"bits": [bf.to_bytes()]})
+
+    parts = df.select(hash_col).mapInPandas(partials, "bits binary").collect()
+    out = BloomFilter(n_bits, k)
+    for row in parts:
+        out.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return out
+
+
+def make_bloom_probe_udf(bloom: BloomFilter):
+    """Vectorized membership probe over an xxhash64 column.
+
+    The bitmap travels to executors by closure (broadcast-equivalent for the
+    py4j path; on a real cluster use ``spark.sparkContext.broadcast``)."""
+    blob, n_bits, k = bloom.to_bytes(), bloom.n_bits, bloom.k
+
+    @F.pandas_udf(BooleanType())
+    def probe(hashes: pd.Series) -> pd.Series:
+        bf = BloomFilter.from_bytes(blob, n_bits, k)
+        return pd.Series(bf.contains_many(hashes.to_numpy(dtype=np.int64)))
+
+    return probe
+
+
+class CuckooFilter:
+    """Minimal cuckoo filter (4-slot buckets, 16-bit fingerprints) with
+    delete — the fallback for the ``Set(url, ReadyToEnqueue)`` reset path
+    (workflow.go:136) where membership must be removable.
+
+    numpy-backed; deterministic eviction (seeded per-filter RNG).
+    """
+
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets: int):
+        self.n_buckets = int(2 ** math.ceil(math.log2(max(n_buckets, 2))))
+        self.table = np.zeros((self.n_buckets, 4), dtype=np.uint16)  # 0 = empty
+        self._rng = np.random.default_rng(42)
+
+    @staticmethod
+    def _fingerprint(h: np.ndarray) -> np.ndarray:
+        fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        return np.where(fp == 0, np.uint16(1), fp)
+
+    def _i1(self, h: np.ndarray) -> np.ndarray:
+        return (h & np.uint64(self.n_buckets - 1)).astype(np.int64)
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        mix = fp.astype(np.uint64) * np.uint64(0x5BD1E995)
+        return ((i1.astype(np.uint64) ^ mix) & np.uint64(self.n_buckets - 1)).astype(np.int64)
+
+    def add(self, h: int) -> bool:
+        h = np.uint64(np.int64(h).astype(np.uint64))
+        fp = int(self._fingerprint(np.array([h]))[0])
+        i1 = int(self._i1(np.array([h]))[0])
+        i2 = int(self._i2(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
+        for i in (i1, i2):
+            empty = np.where(self.table[i] == 0)[0]
+            if len(empty):
+                self.table[i, empty[0]] = fp
+                return True
+        i = i1
+        for _ in range(self.MAX_KICKS):
+            slot = int(self._rng.integers(0, 4))
+            fp, self.table[i, slot] = int(self.table[i, slot]), fp
+            i = int(self._i2(np.array([i]), np.array([fp], dtype=np.uint16))[0])
+            empty = np.where(self.table[i] == 0)[0]
+            if len(empty):
+                self.table[i, empty[0]] = fp
+                return True
+        return False  # full — caller must resize/rebuild
+
+    def _locate(self, h: int):
+        hu = np.uint64(np.int64(h).astype(np.uint64))
+        fp = int(self._fingerprint(np.array([hu]))[0])
+        i1 = int(self._i1(np.array([hu]))[0])
+        i2 = int(self._i2(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
+        return fp, i1, i2
+
+    def contains(self, h: int) -> bool:
+        fp, i1, i2 = self._locate(h)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def delete(self, h: int) -> bool:
+        fp, i1, i2 = self._locate(h)
+        for i in (i1, i2):
+            slots = np.where(self.table[i] == fp)[0]
+            if len(slots):
+                self.table[i, slots[0]] = 0
+                return True
+        return False
+
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (self.contains(int(h)) for h in hashes), dtype=bool, count=len(hashes)
+        )
+
+
+def seen_merge(seen: DataFrame, delta: DataFrame) -> DataFrame:
+    """MERGE INTO seen: delta rows win on url_canon (the batch analogue of
+    SETEX/INCR upserts, ttl_hash_set.go:57-95).  Both sides keyed by
+    (url_hash, url_canon); the anti-join side is the big table, the delta is
+    one batch — broadcast it."""
+    return seen.join(
+        F.broadcast(delta.select("url_canon").distinct()), "url_canon", "left_anti"
+    ).unionByName(delta)
+
+
+def expire_seen(seen: DataFrame, batch_id: int, ttl_batches: int | None) -> DataFrame:
+    """Generation expiry: every write refreshed updated_batch (as every Redis
+    write refreshed the TTL, ttl_hash_set.go:64-65,87); rows older than the
+    TTL window drop out at batch start."""
+    if ttl_batches is None:
+        return seen
+    return seen.where(F.col("updated_batch") >= F.lit(batch_id - ttl_batches))

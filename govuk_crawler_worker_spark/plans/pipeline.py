@@ -1,0 +1,433 @@
+"""The micro-batch drain loop — the whole crawl as one Catalyst plan per batch.
+
+Replaces the reference's hand-wired goroutine pipeline (main.go:139-145):
+
+    deliveries → ReadFromQueue → CrawlURL×4 → WriteItemToDisk → ExtractURLs
+               → {PublishURLs → (feeds back), AcknowledgeItem}
+
+with, per batch b:
+
+    claim      scan frontier, partition-prunable filters, per-host politeness
+               budget (window), priority order + claim limit         (A1)
+    fetch      join the synthetic content table (tests/bench) — on a real
+               cluster this join is the applyInPandas HTTP fetch — plus the
+               seen-state left join for the retry gate                (A2)
+    route      one `when` chain: retry-gate dead / 404 dead / 429 requeue /
+               5XX incr+requeue / redirect-as-HTML / non-accepted reset /
+               HTML extract / other ack                               (A2,A3)
+    extract    vectorized pandas UDF + explode                        (A4)
+    publish    param gate → canonicalize → bloom pre-filter → exact
+               left-anti join vs seen → frontier inserts              (A5)
+    commit     ONE atomic multi-table commit: fetched append, dead append,
+               metrics append, frontier & seen replace, checkpoint meta
+               (ack/reject/publish all-at-once — A6 + exactly-once)
+
+Scale notes (10^10-URL frontier, 1000 executors):
+* claim: the per-host window shuffles by host; the hot-host partition is the
+  skew point — at scale, pre-aggregate per-host counts (salted) and claim per
+  (host, salt) bucket, or let the politeness budget itself cap the partition:
+  budget rows per host survive regardless of host size, so the window's
+  output (not input) is bounded.  The frontier is written partitioned by
+  priority_bucket so the claim scan prunes partitions.
+* every join against a per-batch side (claimed, delta, candidate inserts) is
+  explicitly broadcast — the big tables (seen, content/web, payload) never
+  shuffle for a batch.
+* the bloom pre-filter cuts the candidate→seen anti-join input by the
+  definitely-new fraction; it is maintained incrementally across batches and
+  rebuilt from the seen table on resume.
+* no executor ever sleeps: 429/5XX back-off is a not_before_batch column
+  (workflow.go:108-114 sleeps 5s in-line — that dies at scale).
+* nothing here collects row data to the driver except bounded count() metrics
+  and the bloom partial bitmaps.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from govuk_crawler_worker_spark.config import CrawlConfig
+from govuk_crawler_worker_spark.functions import content_types as ct
+from govuk_crawler_worker_spark.functions.extract import make_extract_udf
+from govuk_crawler_worker_spark.functions.urlnorm import make_udfs
+from govuk_crawler_worker_spark.operators.seen import (
+    BloomFilter,
+    build_bloom_distributed,
+    expire_seen,
+    make_bloom_probe_udf,
+    seen_merge,
+)
+from govuk_crawler_worker_spark.plans import schemas as S
+from govuk_crawler_worker_spark.sources.catalog import Catalog
+
+REDIRECT_STATUSES = (301, 302, 303, 307)
+
+N_PRIORITY_BUCKETS = 4  # frontier partition key: priority_bucket = priority % N
+
+
+def priority_bucket_col(priority):
+    return (priority % N_PRIORITY_BUCKETS).cast("int")
+
+
+@dataclass
+class BatchStats:
+    batch_id: int
+    claimed: int = 0
+    fetched: int = 0
+    published: int = 0
+    requeued: int = 0
+    dead: int = 0
+    frontier_size: int = 0
+    duration_s: float = 0.0
+    stage_ms: dict = field(default_factory=dict)
+
+
+class DrainLoop:
+    """Driver-controlled micro-batch loop; all state lives in catalog tables,
+    so a killed job resumes from the last commit without re-fetching
+    (the reconnect/ack machinery of the reference — queue_connection.go:43-54,
+    ttl_hash_set.go:154-200 — collapses into snapshot-isolation resume)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        config: CrawlConfig,
+        content: DataFrame,
+        payload: DataFrame,
+        ttl_batches: int | None = None,
+        backoff_batches: int = 1,
+        use_bloom: bool = True,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.config = config
+        self.content = content
+        self.payload = payload
+        self.ttl_batches = ttl_batches
+        self.backoff_batches = backoff_batches
+        self.use_bloom = use_bloom
+        self.udfs = make_udfs(config)
+        self.extract_udf = make_extract_udf(config)
+        self.bloom: BloomFilter | None = None
+
+    # -- bootstrap -----------------------------------------------------------
+
+    def seed(self, seeds: DataFrame) -> None:
+        """Initial publish of the seed list (the reference's external seeder
+        feeding the exchange).  Seeds enter with state=Enqueued."""
+        u = self.udfs
+        rows = (
+            seeds.withColumn("url_canon", u["canonicalize"]("url"))
+            .where(F.col("url_canon").isNotNull())
+            .withColumn("url_hash", F.xxhash64("url_canon"))
+            .withColumn("host", u["host"]("url"))
+            .withColumn("priority", F.col("priority").cast("int"))
+            .withColumn("priority_bucket", priority_bucket_col(F.col("priority")))
+            .withColumn("attempt_count", F.lit(0))
+            .withColumn("not_before_batch", F.lit(0).cast("long"))
+            .withColumn("enqueued_batch", F.lit(0).cast("long"))
+            .withColumn("lineage", F.lit("seed"))
+            .select([f.name for f in S.FRONTIER_SCHEMA.fields])
+        )
+        seen = rows.select(
+            "url_hash",
+            "url_canon",
+            F.lit(S.STATE_ENQUEUED).alias("state"),
+            F.lit(0).cast("long").alias("updated_batch"),
+        )
+        self.catalog.commit(
+            replaces={"frontier": rows, "seen": seen},
+            meta={"next_batch": 0},
+            partition_by={"frontier": ["priority_bucket"]},
+        )
+
+    def _ensure_bloom(self, seen: DataFrame) -> None:
+        if not self.use_bloom or self.bloom is not None:
+            return
+        enqueued = seen.where(F.col("state") >= S.STATE_ENQUEUED)
+        est = max(enqueued.count() * 16, 1 << 16)
+        self.bloom = build_bloom_distributed(enqueued, "url_hash", est)
+
+    # -- one micro-batch -------------------------------------------------------
+
+    def run_batch(self, b: int) -> BatchStats:
+        t0 = time.monotonic()
+        cfg, u = self.config, self.udfs
+        stats = BatchStats(batch_id=b)
+        stage_t = time.monotonic()
+
+        frontier = self.catalog.read("frontier", S.FRONTIER_SCHEMA)
+        seen = expire_seen(
+            self.catalog.read("seen", S.SEEN_SCHEMA), b, self.ttl_batches
+        )
+        self._ensure_bloom(seen)
+
+        # ---- A1: claim -----------------------------------------------------
+        eligible = frontier.where(F.col("not_before_batch") <= F.lit(b))
+
+        budget = F.lit(cfg.host_budget("__default__"))
+        for host, _delay in cfg.crawl_delay_by_host.items():
+            budget = F.when(F.col("host") == host, F.lit(cfg.host_budget(host))).otherwise(budget)
+
+        order = [F.col("priority").desc(), F.col("url_canon").asc()]
+        w_host = Window.partitionBy("host").orderBy(*order)
+        claimed = (
+            eligible.withColumn("host_rank", F.row_number().over(w_host))
+            .where(F.col("host_rank") <= budget)
+            .orderBy(*order)
+            .limit(cfg.claim_limit)
+            .drop("host_rank")
+        )
+
+        # ---- A2: state lookup + fetch + route -------------------------------
+        # claimed ≤ claim_limit rows → broadcast it against the big tables.
+        # NB: claimed is the preserved side of these left joins, so the build
+        # side is the lookup table; at sandbox scale AQE broadcasts it.  On a
+        # real cluster the content join IS the applyInPandas HTTP fetch and
+        # the seen lookup is a bucketed join on url_hash.
+        state_lkp = seen.select("url_canon", F.col("state").alias("crawl_count"))
+        routed = (
+            claimed
+            .join(state_lkp, "url_canon", "left")
+            .fillna({"crawl_count": 0})
+            .join(self.content, "url", "left")
+            .withColumn(
+                "route",
+                F.when(F.col("crawl_count") > cfg.max_crawl_retries, "gate_dead")
+                .when(F.col("status").isNull(), "not_found")
+                .when(F.col("busy_429_n") > F.col("attempt_count"), "requeue_429")
+                .when(
+                    F.col("fail_5xx_n") > F.greatest(F.col("crawl_count") - 1, F.lit(0)),
+                    "requeue_5xx",
+                )
+                .when(F.col("status").isin(*REDIRECT_STATUSES), "fetch_html")
+                .when(F.col("status") >= 400, "not_found")
+                .when(~ct.is_accepted_col(F.col("content_type")), "reset")
+                .when(ct.is_html_col(F.col("content_type")), "fetch_html")
+                .otherwise("fetch_other"),
+            )
+            .withColumn(
+                "body",
+                F.when(
+                    F.col("status").isin(*REDIRECT_STATUSES),
+                    F.concat(F.lit('<a href="'), F.col("redirect_to"), F.lit('">moved</a>')),
+                ).otherwise(F.col("body_html")),
+            )
+            .withColumn(
+                "eff_content_type",
+                F.when(F.col("status").isin(*REDIRECT_STATUSES), F.lit(ct.HTML)).otherwise(
+                    F.col("content_type")
+                ),
+            )
+            .localCheckpoint(eager=True)  # bounded (≤ claim_limit rows); reused 6×
+        )
+        stats.stage_ms["crawl_url"] = (time.monotonic() - stage_t) * 1000
+        stage_t = time.monotonic()
+
+        # ---- A3: mirror sink (fetched) --------------------------------------
+        fetch_rows = routed.where(F.col("route").isin("fetch_html", "fetch_other"))
+        fetched_new = (
+            fetch_rows.where(~u["has_params"]("url"))
+            .withColumn("batch_id", F.lit(b).cast("long"))
+            .withColumn("rel_path", u["rel_file_path"]("url", "eff_content_type"))
+            .select(
+                "url",
+                "url_canon",
+                "host",
+                "batch_id",
+                ct.mime_col(F.col("eff_content_type")).alias("content_type"),
+                "rel_path",
+                "image_id",
+            )
+            .join(self.payload, "image_id", "left")
+            .select([f.name for f in S.FETCHED_SCHEMA.fields])
+        )
+        stats.fetched = fetched_new.count()
+        stats.stage_ms["write_to_disk"] = (time.monotonic() - stage_t) * 1000
+        stage_t = time.monotonic()
+
+        # ---- A4: extraction --------------------------------------------------
+        html_rows = routed.where(F.col("route") == "fetch_html")
+        extracted = html_rows.select(
+            F.col("url").alias("src"),
+            self.extract_udf(F.col("body"), F.col("url")).alias("ex"),
+        ).localCheckpoint(eager=True)
+        extract_dead = extracted.where(F.col("ex.error")).select(
+            F.col("src").alias("url"),
+            u["canonicalize"]("src").alias("url_canon"),
+            F.lit("extract_error").alias("reason"),
+            F.lit(b).cast("long").alias("batch_id"),
+        )
+        candidates = (
+            extracted.where(~F.col("ex.error"))
+            .select("src", F.explode("ex.urls").alias("url"))
+        )
+        stats.stage_ms["extract_urls"] = (time.monotonic() - stage_t) * 1000
+        stage_t = time.monotonic()
+
+        # ---- A5: publish (dedup = bloom pre-filter + exact anti-join) -------
+        cands = (
+            candidates.where(u["publish_param_gate"]("url"))
+            .withColumn("url_canon", u["canonicalize"]("url"))
+            .where(F.col("url_canon").isNotNull())
+            .groupBy("url_canon")
+            .agg(F.min(F.struct("url", "src")).alias("rep"))
+            .select(
+                "url_canon",
+                F.col("rep.url").alias("url"),
+                F.col("rep.src").alias("lineage"),
+            )
+            .withColumn("url_hash", F.xxhash64("url_canon"))
+        )
+        # Claim-phase seen writes (5XX Incr, non-accepted reset) happen-before
+        # the publish-phase Get in the reference's per-message timeline; our
+        # batch semantics preserve that: apply the claim delta BEFORE the
+        # publish dedup check (so a reset-to-0 URL republishes same-batch).
+        claim_delta = routed.where(F.col("route") == "requeue_5xx").select(
+            "url_hash",
+            "url_canon",
+            (F.col("crawl_count") + 1).cast("int").alias("state"),
+            F.lit(b).cast("long").alias("updated_batch"),
+        ).unionByName(
+            routed.where(F.col("route") == "reset").select(
+                "url_hash",
+                "url_canon",
+                F.lit(S.STATE_READY_TO_ENQUEUE).alias("state"),
+                F.lit(b).cast("long").alias("updated_batch"),
+            )
+        )
+        seen_after_claim = seen_merge(seen, claim_delta)
+        enqueued_seen = seen_after_claim.where(
+            F.col("state") >= S.STATE_ENQUEUED
+        ).select("url_canon")
+        if self.bloom is not None:
+            probe = make_bloom_probe_udf(self.bloom)
+            cands = cands.withColumn("maybe_seen", probe("url_hash")).localCheckpoint(
+                eager=True
+            )
+            # bloom-negative → certainly new (no false negatives): skip the join
+            certainly_new = cands.where(~F.col("maybe_seen")).drop("maybe_seen")
+            confirmed_new = (
+                cands.where(F.col("maybe_seen"))
+                .drop("maybe_seen")
+                .join(enqueued_seen.hint("broadcast"), "url_canon", "left_anti")
+            )
+            new_urls = certainly_new.unionByName(confirmed_new)
+        else:
+            new_urls = cands.join(enqueued_seen.hint("broadcast"), "url_canon", "left_anti")
+
+        inserts = (
+            new_urls.withColumn("host", u["host"]("url"))
+            .withColumn("priority", F.lit(0))  # published priority 0 (queue_connection.go:129)
+            .withColumn("priority_bucket", priority_bucket_col(F.col("priority")))
+            .withColumn("attempt_count", F.lit(0))
+            .withColumn("not_before_batch", F.lit(b + 1).cast("long"))
+            .withColumn("enqueued_batch", F.lit(b).cast("long"))
+            .select([f.name for f in S.FRONTIER_SCHEMA.fields])
+            .localCheckpoint(eager=True)
+        )
+        stats.published = inserts.count()
+        stats.stage_ms["publish_urls"] = (time.monotonic() - stage_t) * 1000
+        stage_t = time.monotonic()
+
+        # ---- seen delta (MERGE) ---------------------------------------------
+        publish_delta = inserts.select(
+            "url_hash",
+            "url_canon",
+            F.lit(S.STATE_ENQUEUED).alias("state"),
+            F.lit(b).cast("long").alias("updated_batch"),
+        )
+        new_seen = seen_merge(seen_after_claim, publish_delta)
+
+        # ---- dead + requeues + next frontier ---------------------------------
+        dead_new = routed.where(F.col("route").isin("gate_dead", "not_found")).select(
+            "url",
+            "url_canon",
+            F.when(F.col("route") == "gate_dead", "retries_exhausted")
+            .otherwise("not_found")
+            .alias("reason"),
+            F.lit(b).cast("long").alias("batch_id"),
+        ).unionByName(extract_dead)
+
+        requeues = (
+            routed.where(F.col("route").isin("requeue_429", "requeue_5xx"))
+            .withColumn("attempt_count", F.col("attempt_count") + 1)
+            .withColumn(
+                "not_before_batch",
+                F.when(
+                    F.col("route") == "requeue_429",
+                    F.lit(b + self.backoff_batches),
+                )
+                .otherwise(F.lit(b + 1))
+                .cast("long"),
+            )
+            .select([f.name for f in S.FRONTIER_SCHEMA.fields])
+        )
+
+        claimed_keys = routed.select("url_canon")
+        frontier_next = (
+            frontier.join(claimed_keys.hint("broadcast"), "url_canon", "left_anti")
+            .unionByName(requeues)
+            .unionByName(inserts)
+        )
+
+        stats.claimed = routed.count()
+        stats.requeued = requeues.count()
+        stats.dead = dead_new.count()
+
+        # ---- incremental bloom maintenance ------------------------------------
+        if self.bloom is not None and stats.published:
+            hashes = [r["url_hash"] for r in inserts.select("url_hash").collect()]
+            import numpy as np
+
+            self.bloom.add_many(np.array(hashes, dtype=np.int64))
+
+        # ---- metrics (B30 StatsD labels) --------------------------------------
+        stats.stage_ms["read_from_queue"] = 0.0  # folded into claim/crawl_url
+        metrics_rows = [
+            (b, stage, float(ms), int(stats.claimed), 0)
+            for stage, ms in stats.stage_ms.items()
+        ]
+        metrics_df = self.spark.createDataFrame(metrics_rows, S.METRICS_SCHEMA)
+
+        # ---- A6 + exactly-once: ONE atomic commit -----------------------------
+        self.catalog.commit(
+            replaces={"frontier": frontier_next, "seen": new_seen},
+            appends={"fetched": fetched_new, "dead": dead_new, "metrics": metrics_df},
+            meta={"next_batch": b + 1},
+            partition_by={"frontier": ["priority_bucket"]},
+        )
+        stats.frontier_size = self.catalog.read("frontier").count()
+        stats.duration_s = time.monotonic() - t0
+        return stats
+
+    # -- the loop ---------------------------------------------------------------
+
+    def drain(self, max_batches: int = 1000, progress=None) -> list[BatchStats]:
+        """Iterate batches until the frontier is empty (termination = the
+        publish→consume feedback loop has no more work) or the budget runs
+        out.  Resumes from the last committed ``next_batch``."""
+        out: list[BatchStats] = []
+        b = int(self.catalog.latest()["meta"].get("next_batch", 0))
+        end = b + max_batches
+        while b < end:
+            frontier = self.catalog.read("frontier", S.FRONTIER_SCHEMA)
+            n = frontier.count()
+            if n == 0:
+                break
+            # all rows backed off past b? jump the clock instead of spinning
+            min_nb = frontier.agg(F.min("not_before_batch")).collect()[0][0]
+            if min_nb is not None and min_nb > b:
+                b = int(min_nb)
+                continue
+            stats = self.run_batch(b)
+            out.append(stats)
+            if progress:
+                progress(stats)
+            b += 1
+        return out

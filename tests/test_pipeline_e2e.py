@@ -1,0 +1,166 @@
+"""End-to-end: the Spark drain loop must reproduce the reference simulator
+exactly — crawl set AND order (batch granularity), seen membership+states,
+dead set, retry/requeue behavior — mirroring workflow_test.go scenarios
+set-at-a-time (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from govuk_crawler_worker_spark.plans import schemas as S
+from govuk_crawler_worker_spark.plans.pipeline import DrainLoop
+from govuk_crawler_worker_spark.plans.sim import simulate
+from govuk_crawler_worker_spark.plans.validate import validate_fetched_images
+from govuk_crawler_worker_spark.sources.catalog import Catalog
+from govuk_crawler_worker_spark.sources.world import build_world, world_to_spark
+
+
+def run_drain(spark, world, tmp, **kw):
+    payload, content, seeds = world_to_spark(spark, world)
+    catalog = Catalog(spark, tmp)
+    loop = DrainLoop(
+        spark, catalog, world.config, content.cache(), payload.cache(), **kw
+    )
+    loop.seed(seeds)
+    stats = loop.drain(max_batches=60)
+    return catalog, loop, stats
+
+
+def fetched_key(rows):
+    return sorted((r["batch_id"], r["url_canon"]) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def small_world():
+    return build_world(n_pages=42, seed=42)
+
+
+@pytest.fixture(scope="module")
+def drained(spark, small_world):
+    tmp = tempfile.mkdtemp(prefix="drain_")
+    catalog, loop, stats = run_drain(spark, small_world, tmp)
+    sim = simulate(small_world.content, small_world.seeds, small_world.config)
+    return catalog, stats, sim, small_world
+
+
+class TestDrainMatchesSimulator:
+    def test_crawl_order_identical(self, drained):
+        catalog, stats, sim, _ = drained
+        engine = [
+            r.asDict() for r in catalog.read("fetched").select("batch_id", "url_canon").collect()
+        ]
+        assert fetched_key(engine) == fetched_key(sim.fetched)
+        assert len(engine) > 20
+
+    def test_fetched_metadata_matches(self, drained):
+        catalog, _, sim, _ = drained
+        engine = {
+            r["url_canon"]: r.asDict()
+            for r in catalog.read("fetched")
+            .select("url_canon", "content_type", "rel_path", "image_id")
+            .collect()
+        }
+        for s in sim.fetched:
+            e = engine[s["url_canon"]]
+            assert e["content_type"] == s["content_type"], s["url"]
+            assert e["rel_path"] == s["rel_path"], s["url"]
+            assert e["image_id"] == s["image_id"], s["url"]
+
+    def test_seen_membership_and_states(self, drained):
+        catalog, _, sim, _ = drained
+        engine = {
+            r["url_canon"]: r["state"]
+            for r in catalog.read("seen").select("url_canon", "state").collect()
+        }
+        assert engine == sim.seen
+
+    def test_dead_set_matches(self, drained):
+        catalog, _, sim, _ = drained
+        engine = sorted(
+            (r["url_canon"], r["reason"], r["batch_id"])
+            for r in catalog.read("dead").collect()
+        )
+        expected = sorted((d["url_canon"], d["reason"], d["batch_id"]) for d in sim.dead)
+        assert engine == expected
+
+    def test_faults_exercised(self, drained):
+        # the world must actually cover the retry/dead/reset branches
+        _, _, sim, world = drained
+        reasons = {d["reason"] for d in sim.dead}
+        assert "not_found" in reasons
+        assert "retries_exhausted" in reasons or (world.content["fail_5xx_n"] < 5).all()
+        assert any(s > 1 for s in sim.seen.values())  # 5XX increments happened
+        assert any(s == 0 for s in sim.seen.values())  # non-accepted reset happened
+
+    def test_payload_invariants(self, drained):
+        catalog, _, _, world = drained
+        origin = catalog.spark.createDataFrame(world.origin)
+        report = validate_fetched_images(catalog.read("fetched"), origin)
+        rows = report.collect()
+        assert len(rows) > 5
+        bad = [r.asDict() for r in rows if not (r["pixels_ok"] and r["caption_ok"] and r["phash_ok"] and r["dims_ok"])]
+        assert bad == []
+        lossy = [r["psnr"] for r in rows if r["psnr"] < 1e9]
+        assert lossy and min(lossy) >= 40.0
+
+
+class TestPoliteness:
+    def test_host_budget_respected_and_matches_sim(self, spark):
+        world = build_world(n_pages=36, seed=7, crawl_delay_hot_host=5.0)
+        # budget = 30s period / 5s delay = 6 fetches per batch on the hot host
+        tmp = tempfile.mkdtemp(prefix="drain_pol_")
+        catalog, _, _ = run_drain(spark, world, tmp)
+        sim = simulate(world.content, world.seeds, world.config)
+        engine = [
+            r.asDict()
+            for r in catalog.read("fetched").select("batch_id", "url_canon", "host").collect()
+        ]
+        assert fetched_key(engine) == fetched_key(sim.fetched)
+        from collections import Counter
+
+        per_batch_host = Counter((r["batch_id"], r["host"]) for r in engine)
+        budget = world.config.host_budget("www.gov.uk")
+        for (b, host), n in per_batch_host.items():
+            if host == "www.gov.uk":
+                assert n <= budget, (b, host, n)
+
+
+class TestResume:
+    def test_kill_and_resume_no_refetch(self, spark, small_world):
+        tmp = tempfile.mkdtemp(prefix="drain_resume_")
+        payload, content, seeds = world_to_spark(spark, small_world)
+        catalog = Catalog(spark, tmp)
+        loop = DrainLoop(spark, catalog, small_world.config, content, payload)
+        loop.seed(seeds)
+        loop.drain(max_batches=2)  # "crash" after two committed batches
+
+        # resume with a FRESH loop (bloom rebuilt from the seen table)
+        loop2 = DrainLoop(spark, catalog, small_world.config, content, payload)
+        loop2.drain(max_batches=60)
+
+        sim = simulate(small_world.content, small_world.seeds, small_world.config)
+        engine = [
+            r.asDict() for r in catalog.read("fetched").select("batch_id", "url_canon").collect()
+        ]
+        assert fetched_key(engine) == fetched_key(sim.fetched)  # no refetch, no gap
+        seen = {
+            r["url_canon"]: r["state"]
+            for r in catalog.read("seen").select("url_canon", "state").collect()
+        }
+        assert seen == sim.seen
+
+
+class TestTTL:
+    def test_ttl_expiry_allows_recrawl_enqueue(self, spark):
+        # with a tiny TTL the seen generation expires; both engine and sim
+        # must agree on the resulting (re-)publish behavior
+        world = build_world(n_pages=12, seed=3)
+        tmp = tempfile.mkdtemp(prefix="drain_ttl_")
+        catalog, _, _ = run_drain(spark, world, tmp, ttl_batches=2)
+        sim = simulate(world.content, world.seeds, world.config, ttl_batches=2)
+        engine = [
+            r.asDict() for r in catalog.read("fetched").select("batch_id", "url_canon").collect()
+        ]
+        assert fetched_key(engine) == fetched_key(sim.fetched)
