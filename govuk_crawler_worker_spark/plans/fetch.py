@@ -1,0 +1,146 @@
+"""Fetchers: how a claimed batch becomes fetch results.
+
+Reference: ``http_crawler/crawler.go:50-127`` — GET with basic auth,
+``Rate-Limit-Token`` header, versioned User-Agent; status routing 429/5XX/
+404/redirect; host gate.
+
+Two implementations behind one shape (a DataFrame of claim rows → the same
+rows + ``status, content_type, body_html/bytes, redirect_to``):
+
+* **TableFetcher** — joins a content table (the synthetic web).  This is the
+  hermetic test/bench path and lives inline in plans/pipeline.py (the join IS
+  the fetch).
+* **HttpFetcher** (this module) — the production path: fetch inside
+  ``groupBy(host, salt).applyInPandas`` so the politeness schedule
+  (operators/politeness.py) executes WHERE the requests happen: each bucket
+  sleeps to its interleaved offsets, giving the host exactly one request per
+  crawl-delay across the whole cluster.  429/5XX/redirect map to the same
+  route strings the pipeline consumes.
+
+The sandbox blocks outbound network, so HttpFetcher is exercised against an
+injected ``opener`` in tests; the default opener is stdlib urllib and is the
+single line a real deployment reviews.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from govuk_crawler_worker_spark.config import CrawlConfig
+from govuk_crawler_worker_spark.operators.politeness import pace_claim
+
+FETCH_RESULT_COLS = (
+    "status int, content_type string, body_html string, redirect_to string"
+)
+
+USER_AGENT_TEMPLATE = "govuk_crawler_worker_spark/{version} on host '{host}'"
+
+
+def default_opener(url: str, headers: dict[str, str], timeout_s: float):
+    """stdlib GET → (status, content_type, body_bytes, final_url).
+    Kept tiny and injectable; never called in the sandbox."""
+    import urllib.request
+
+    req = urllib.request.Request(url, headers=headers)
+    with urllib.request.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310
+        return (
+            resp.status,
+            resp.headers.get("Content-Type", ""),
+            resp.read(),
+            resp.geturl(),
+        )
+
+
+class HttpFetcher:
+    def __init__(
+        self,
+        config: CrawlConfig,
+        opener: Callable | None = None,
+        rate_limit_token: str | None = None,
+        basic_auth: tuple[str, str] | None = None,
+        timeout_s: float = 10.0,
+        version: str = "0.1.0",
+        sleep: Callable[[float], None] = time.sleep,
+    ):
+        self.config = config
+        self.opener = opener or default_opener
+        self.rate_limit_token = rate_limit_token
+        self.basic_auth = basic_auth
+        self.timeout_s = timeout_s
+        self.version = version
+        self.sleep = sleep
+
+    def _headers(self, host: str) -> dict[str, str]:
+        # crawler.go:64-75: basic auth, Rate-Limit-Token, versioned UA
+        headers = {"User-Agent": USER_AGENT_TEMPLATE.format(version=self.version, host=host)}
+        if self.rate_limit_token:
+            headers["Rate-Limit-Token"] = self.rate_limit_token
+        if self.basic_auth:
+            import base64
+
+            cred = base64.b64encode(":".join(self.basic_auth).encode()).decode()
+            headers["Authorization"] = f"Basic {cred}"
+        return headers
+
+    def fetch(self, claimed: DataFrame) -> DataFrame:
+        """claimed frontier rows → rows + fetch-result columns, fetched inside
+        salted politeness buckets with in-group pacing (no executor ever
+        sleeps longer than its own bucket's schedule)."""
+        allowed = set(self.config.root_hosts_no_port)
+        opener = self.opener
+        headers_for = self._headers
+        timeout_s = self.timeout_s
+        sleeper = self.sleep
+
+        paced = pace_claim(claimed, self.config)
+        out_schema = (
+            ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in paced.schema.fields)
+            + ", "
+            + FETCH_RESULT_COLS
+        )
+
+        def fetch_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            host, _salt = key
+            pdf = pdf.sort_values("fetch_seq").copy()
+            t0 = time.monotonic()
+            statuses, ctypes, bodies, redirects = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                # host gate WITHOUT port (crawler.go:154-169): not under a
+                # root host → ErrCannotCrawlURL → reject-drop
+                if host.split(":", 1)[0] not in allowed:
+                    statuses.append(490)  # engine-internal: host-gate reject
+                    ctypes.append(None), bodies.append(None), redirects.append(None)
+                    continue
+                wait = row.fetch_offset_s - (time.monotonic() - t0)
+                if wait > 0:
+                    sleeper(wait)  # the bucket-local politeness schedule
+                try:
+                    status, ctype, body, final_url = opener(
+                        row.url, headers_for(host), timeout_s
+                    )
+                    statuses.append(int(status))
+                    ctypes.append(ctype)
+                    if status in (301, 302, 303, 307):
+                        # meta-refresh trick (crawler.go:91-109): surface the
+                        # target as the sole outlink
+                        redirects.append(final_url)
+                        bodies.append(None)
+                    else:
+                        redirects.append(None)
+                        bodies.append(
+                            body.decode("utf-8", "replace") if body is not None else None
+                        )
+                except Exception:  # noqa: BLE001 — any transport error → 404-class drop
+                    statuses.append(404)
+                    ctypes.append(None), bodies.append(None), redirects.append(None)
+            pdf["status"] = pd.array(statuses, dtype="int32")
+            pdf["content_type"] = ctypes
+            pdf["body_html"] = bodies
+            pdf["redirect_to"] = redirects
+            return pdf
+
+        return paced.groupBy("host", "salt").applyInPandas(fetch_group, out_schema)

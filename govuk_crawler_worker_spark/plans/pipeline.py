@@ -102,6 +102,8 @@ class DrainLoop:
         ttl_batches: int | None = None,
         backoff_batches: int = 1,
         use_bloom: bool = True,
+        origin: DataFrame | None = None,
+        validate_payload: bool = False,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -111,6 +113,11 @@ class DrainLoop:
         self.ttl_batches = ttl_batches
         self.backoff_batches = backoff_batches
         self.use_bloom = use_bloom
+        # north rule: each micro-batch validates decoded pixels against the
+        # origin (PSNR ≥ 40 dB lossy / exact lossless, caption equality);
+        # enabled when the ground-truth origin table is available.
+        self.origin = origin
+        self.validate_payload = validate_payload and origin is not None
         self.udfs = make_udfs(config)
         self.extract_udf = make_extract_udf(config)
         self.bloom: BloomFilter | None = None
@@ -436,10 +443,22 @@ class DrainLoop:
         ]
         metrics_df = self.spark.createDataFrame(metrics_rows, S.METRICS_SCHEMA)
 
+        # ---- per-batch payload validation (north rule) ------------------------
+        appends = {"fetched": fetched_new, "dead": dead_new, "metrics": metrics_df}
+        if self.validate_payload:
+            from govuk_crawler_worker_spark.plans.validate import (
+                validate_fetched_images,
+            )
+
+            report = validate_fetched_images(fetched_new, self.origin).withColumn(
+                "batch_id", F.lit(b).cast("long")
+            )
+            appends["validation"] = report
+
         # ---- A6 + exactly-once: ONE atomic commit -----------------------------
         self.catalog.commit(
             replaces={"frontier": frontier_next, "seen": new_seen},
-            appends={"fetched": fetched_new, "dead": dead_new, "metrics": metrics_df},
+            appends=appends,
             meta={"next_batch": b + 1},
             partition_by={"frontier": ["priority_bucket"]},
         )
