@@ -220,7 +220,7 @@ def _dedup_exact(spark, sf):
 def _dedup_jaccard_words(spark, sf):
     from govuk_crawler_worker_spark.operators.dedup import jaccard_word_pairs
 
-    return jaccard_word_pairs(_t(spark, sf, "documents"), threshold=0.8)
+    return jaccard_word_pairs(_t(spark, sf, "documents"), threshold=0.8, max_word_df=1000)
 
 
 def _dedup_minhash_lsh(spark, sf):
@@ -422,8 +422,16 @@ def oracle_sql() -> dict[str, str]:
                      list_distinct(string_split(text, ' ')) AS words
               FROM documents
             ),
-            ex AS (SELECT doc_id, source, unnest(words) AS word FROM ws),
-            sizes AS (SELECT doc_id, len(words) AS n FROM ws),
+            ex0 AS (SELECT doc_id, source, unnest(words) AS word FROM ws),
+            hot AS (
+              SELECT source, word FROM ex0 GROUP BY source, word
+              HAVING count(*) > 1000
+            ),
+            ex AS (
+              SELECT e.doc_id, e.source, e.word FROM ex0 e
+              ANTI JOIN hot h ON e.source = h.source AND e.word = h.word
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
             inter AS (
               SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
               FROM ex l JOIN ex r

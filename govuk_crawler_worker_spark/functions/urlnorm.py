@@ -37,6 +37,10 @@ _DEFAULT_PORTS = {"http": "80", "https": "443"}
 # reference (crawler_message_item.go:64): any char followed by html/htm.
 _HTMLISH_RE = re.compile(r".(html|htm)$")
 
+# A '%' that is NOT followed by two hex digits — Go url.QueryUnescape's only
+# error condition (url.EscapeError).
+_BAD_PCT_RE = re.compile(r"%(?![0-9A-Fa-f]{2})")
+
 
 # ---------------------------------------------------------------------------
 # parsing helpers (Go net/url semantics where they differ from urllib)
@@ -196,7 +200,11 @@ def publish_allowed_by_params(url: str) -> bool:
 
     No query → publish.  Unparsable query → skip.  Query whose only key is
     ``page`` → publish (the URL keeps its param).  Any other remaining key →
-    skip.  Uses Go url.ParseQuery semantics: keys without ``=`` still count.
+    skip.  Uses Go url.ParseQuery semantics: keys without ``=`` still count,
+    and an invalid percent-escape (``%`` not followed by two hex digits) in a
+    KEY **or VALUE** errors the whole parse — so ``?page=%zz`` is skipped
+    (workflow.go:260-264).  Note Go's QueryUnescape does NOT error on
+    non-UTF-8 bytes like ``%ff``, so neither do we.
     """
     parts = split_url(url)
     if parts is None:
@@ -208,11 +216,12 @@ def publish_allowed_by_params(url: str) -> bool:
     for piece in query.split("&"):
         if not piece:
             continue
-        key = piece.split("=", 1)[0]
-        try:
-            key = unquote_plus(key, errors="strict")
-        except UnicodeDecodeError:
+        key, _, value = piece.partition("=")
+        if _BAD_PCT_RE.search(key) or _BAD_PCT_RE.search(value):
             return False  # ParseQuery error → skip (workflow.go:261-264)
+        # decode non-strict: Go keeps raw bytes; a non-UTF-8 key can never
+        # equal "page", and 'replace' preserves that inequality.
+        key = unquote_plus(key, errors="replace")
         if key != "page":
             remaining.append(key)
     return not remaining

@@ -55,16 +55,32 @@ def jaccard_word_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     block_col: str = "source",
+    max_word_df: int = 1000,
 ) -> DataFrame:
     """Exact word-set Jaccard over candidate pairs sharing a block.
 
     |A∩B| via a word-level self-equi-join keyed by (block, word) — the join
     key carries the block so the shuffle is bounded per block; |A∪B| =
     |A|+|B|−|A∩B| from per-doc counts.  Returns pairs (a<b) with
-    jaccard ≥ threshold, rounded for cross-engine comparison."""
+    jaccard ≥ threshold, rounded for cross-engine comparison.
+
+    ``max_word_df`` caps the document frequency of a join key: a stop-word
+    appearing in d docs of one block would emit d² join rows (quadratic at
+    corpus scale), so (block, word) keys with df > cap are dropped from both
+    the intersection AND the per-doc sizes — the same stop-shingle mitigation
+    ``minhash_lsh_pairs`` uses.  Jaccard is then computed over the capped
+    vocabulary (slightly coarser similarity; near-dup pairs share rare words
+    overwhelmingly, so the practical recall effect is negligible)."""
     ws = _word_sets(docs, text_col, id_col, block_col)
     exploded = ws.select("doc_id", "block", F.explode("words").alias("word"))
-    sizes = ws.select("doc_id", F.size("words").alias("n"))
+    hot = (
+        exploded.groupBy("block", "word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_word_df)
+        .select("block", "word")
+    )
+    exploded = exploded.join(F.broadcast(hot), ["block", "word"], "left_anti")
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     inter = (
         exploded.alias("l")
@@ -229,25 +245,61 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return votes.select("doc_id", acc.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ k via pigeonhole banding:
-    split 64 bits into 4 × 16-bit chunks — any pair within Hamming ≤ 3 must
-    agree on ≥1 chunk, so the candidate join is an equi-join on
-    (chunk_idx, chunk_value), then exact popcount verify."""
-    sig = simhash64(docs, **kw)
-    chunks = None
-    for c in range(4):
-        ch = sig.select(
-            "doc_id",
-            "simhash",
-            F.lit(c).alias("ci"),
-            F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+def _simhash_blocks(n_blocks: int) -> list[tuple[int, int]]:
+    """(shift, width) of ``n_blocks`` nearly-equal bit blocks covering 64."""
+    base, rem = divmod(64, n_blocks)
+    out, shift = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        out.append((shift, w))
+        shift += w
+    return out
+
+
+def simhash_candidates(
+    sig: DataFrame, max_hamming: int = 3, n_blocks: int = 6
+) -> DataFrame:
+    """Candidate pairs for Hamming ≤ h, sub-quadratic at corpus scale.
+
+    Pigeonhole over B blocks: ≤ h differing bits leave ≥ B−h blocks exactly
+    equal, so any qualifying pair collides on at least one (B−h)-combination
+    of blocks.  The candidate key is (combo_id, packed block values): with
+    B=6, h=3 the key carries ~32 bits — 2^32 distinct buckets — so bucket
+    sizes stay O(n/2^32) instead of the O(n/2^16) a single 16-bit chunk key
+    gives (which goes quadratic past ~65k docs).  This is the Manku et al.
+    (WWW'07) table scheme expressed as explode + self-equi-join; C(6,3)=20
+    combos replicate each signature 20× — linear cost buying sub-quadratic
+    candidates.  Input: ``sig(doc_id, simhash)``; output unverified (a, b,
+    sa, sb) pairs."""
+    from itertools import combinations
+
+    blocks = _simhash_blocks(n_blocks)
+    keep = n_blocks - max_hamming
+    if keep <= 0:
+        raise ValueError("max_hamming must be < n_blocks")
+
+    def block_val(shift: int, width: int):
+        return F.shiftrightunsigned(F.col("simhash"), shift).bitwiseAND(
+            F.lit((1 << width) - 1)
         )
-        chunks = ch if chunks is None else chunks.unionByName(ch)
-    cand = (
-        chunks.alias("l")
+
+    combo_keys = []
+    for ci, combo in enumerate(combinations(range(n_blocks), keep)):
+        key, off = F.lit(0).cast("long"), 0
+        for bi in combo:
+            shift, width = blocks[bi]
+            key = key + F.shiftleft(block_val(shift, width), off)
+            off += width
+        combo_keys.append(F.struct(F.lit(ci).alias("ci"), key.alias("cv")))
+
+    keyed = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*combo_keys)).alias("k")
+    ).select("doc_id", "simhash", F.col("k.ci").alias("ci"), F.col("k.cv").alias("cv"))
+
+    return (
+        keyed.alias("l")
         .join(
-            chunks.alias("r"),
+            keyed.alias("r"),
             (F.col("l.ci") == F.col("r.ci"))
             & (F.col("l.cv") == F.col("r.cv"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
@@ -260,6 +312,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
         )
         .distinct()
     )
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, n_blocks: int = 6, **kw
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ h: sub-quadratic pigeonhole
+    banding (see ``simhash_candidates``) + exact popcount verify."""
+    sig = simhash64(docs, **kw)
+    cand = simhash_candidates(sig, max_hamming=max_hamming, n_blocks=n_blocks)
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
         .where(F.col("hamming") <= max_hamming)

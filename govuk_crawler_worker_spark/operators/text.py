@@ -68,7 +68,7 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 FP_BASE = 1000003
-FP_MOD = (1 << 61) - 1
+FP_MOD = (1 << 61) - 1  # Mersenne prime 2^61-1: mulmod reduces to shifts
 
 
 def fingerprint_py(text: str) -> int:
@@ -79,22 +79,104 @@ def fingerprint_py(text: str) -> int:
     return h
 
 
+# -- vectorized modular arithmetic over the Mersenne prime 2^61-1 ------------
+# h(doc) = Σ_i c_i · B^(L-1-i)  (mod M) — the same polynomial as
+# fingerprint_py, evaluated as one dot product per document instead of a
+# per-character Python loop: cost is a handful of numpy passes per Arrow
+# batch, linear in bytes with SIMD constants, which is what survives 100 TB.
+
+_M61 = np.uint64(FP_MOD)
+
+
+def _fold61(x: np.ndarray) -> np.ndarray:
+    """x mod (2^61-1) for any uint64 x (two shift-add folds + M→0 fix)."""
+    x = (x >> np.uint64(61)) + (x & _M61)
+    x = (x >> np.uint64(61)) + (x & _M61)
+    return np.where(x == _M61, np.uint64(0), x)
+
+
+def _rot61(x: np.ndarray, k: int) -> np.ndarray:
+    """(x · 2^k) mod (2^61-1) = 61-bit left rotation, for x < 2^61-1."""
+    lo_bits = np.uint64(61 - k)
+    return ((x & ((np.uint64(1) << lo_bits) - np.uint64(1))) << np.uint64(k)) | (
+        x >> lo_bits
+    )
+
+
+def _mulmod61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a·b) mod (2^61-1) elementwise for a, b < 2^61-1, without 128-bit.
+
+    Schoolbook split a=a1·2^31+a0, b=b1·2^31+b0; 2^62 ≡ 2 and ·2^31 is a
+    rotation, so every partial product stays inside uint64.
+    """
+    a = a.astype(np.uint64)
+    b = b.astype(np.uint64)
+    mask31 = np.uint64(0x7FFFFFFF)
+    a1, a0 = a >> np.uint64(31), a & mask31
+    b1, b0 = b >> np.uint64(31), b & mask31
+    hi = _rot61(_fold61(a1 * b1), 1)  # a1·b1·2^62 ≡ ·2
+    mid = _rot61(_fold61(a1 * b0 + a0 * b1), 31)  # (a1·b0+a0·b1)·2^31
+    lo = _fold61(a0 * b0)
+    return _fold61(hi + mid + lo)
+
+
+def _powers61(base: int, n: int) -> np.ndarray:
+    """[base^0 .. base^(n-1)] mod 2^61-1, built by doubling (log2 n passes)."""
+    p = np.array([1], dtype=np.uint64)
+    b = np.array([base % FP_MOD], dtype=np.uint64)
+    while len(p) < n:
+        # next block = existing block · base^len, where base^len = p[-1]·base
+        step = _mulmod61(p[-1:], b)
+        p = np.concatenate([p, _mulmod61(p, np.broadcast_to(step, p.shape).copy())])
+    return p[:n]
+
+
+def fingerprint_batch(texts: "pd.Series") -> np.ndarray:
+    """Vectorized fingerprint for a batch of texts — numpy modular Horner.
+
+    One encode per doc (C speed), then: terms = c_i · B^exp_i (mod M) over
+    the concatenated codepoint stream, segment-summed per doc in 31-bit
+    halves so the accumulation never overflows uint64.
+    """
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    codes_list = []
+    lengths = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        if isinstance(t, str) and t:
+            c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            codes_list.append(c)
+            lengths[i] = len(c)
+    if not codes_list:
+        return out
+    codes = np.concatenate(codes_list).astype(np.uint64)
+    nz = lengths > 0
+    lens = lengths[nz]
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    # exponent of codepoint at global position g in its doc: end-1-g
+    exp = np.repeat(ends - 1, lens) - np.arange(len(codes), dtype=np.int64)
+    pw = _powers61(FP_BASE, int(lens.max()))
+    p = pw[exp]
+    # specialized small·big mulmod: codepoints < 2^21, so c·p_hi < 2^51 and
+    # c·p_lo < 2^52 never overflow — 2 multiplies instead of mulmod61's 4
+    p1, p0 = p >> np.uint64(31), p & np.uint64(0x7FFFFFFF)
+    terms = _fold61(_rot61(codes * p1, 31) + codes * p0)
+    # overflow-safe segment sum: accumulate 31-bit halves separately
+    hi = np.add.reduceat(terms >> np.uint64(31), starts)
+    lo = np.add.reduceat(terms & np.uint64(0x7FFFFFFF), starts)
+    h = _fold61(_rot61(_fold61(hi), 31) + _fold61(lo))
+    out[nz] = h.astype(np.int64)
+    return out
+
+
 def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Rolling-hash fingerprint per document via an Arrow-vectorized pandas
-    UDF (numpy Horner over codepoint arrays — no per-row Python UDF)."""
+    UDF — numpy modular Horner over the batch's concatenated codepoints (no
+    per-character Python; pinned to ``fingerprint_py`` by test)."""
 
     @F.pandas_udf("long")
     def fp(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            h = np.int64(0)
-            if t:
-                codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(object)
-                acc = 0
-                for c in codes:
-                    acc = (acc * FP_BASE + int(c)) % FP_MOD
-                h = np.int64(acc)
-            out[i] = h
-        return pd.Series(out)
+        return pd.Series(fingerprint_batch(texts))
 
     return docs.select(F.col(id_col).alias("doc_id"), fp(F.col(text_col)).alias("fingerprint"))

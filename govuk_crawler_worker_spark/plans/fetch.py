@@ -40,19 +40,64 @@ FETCH_RESULT_COLS = (
 USER_AGENT_TEMPLATE = "govuk_crawler_worker_spark/{version} on host '{host}'"
 
 
+class _NoRedirect:
+    """Redirect handler that surfaces 3xx as-is instead of following it —
+    the reference deliberately uses http.DefaultTransport.RoundTrip
+    (crawler.go:84-90) so 301/302/303/307 reach the status router and the
+    meta-refresh trick; auto-following would fetch cross-host without the
+    host gate or pacing."""
+
+    def __init__(self):
+        import urllib.request
+
+        class _Handler(urllib.request.HTTPRedirectHandler):
+            # redirect_request returning None is the documented 'cannot
+            # redirect' signal: urllib raises HTTPError carrying the 3xx
+            # code + headers, which default_opener converts back into a
+            # plain status result.
+            def redirect_request(self, req, fp, code, msg, headers, newurl):
+                return None
+
+        self.handler = _Handler()
+
+
 def default_opener(url: str, headers: dict[str, str], timeout_s: float):
     """stdlib GET → (status, content_type, body_bytes, final_url).
-    Kept tiny and injectable; never called in the sandbox."""
+
+    Does NOT follow redirects (3xx surfaces as the status, final_url = the
+    resolved Location target) and surfaces 4xx/5xx/429 as REAL statuses via
+    HTTPError handling — so transient failures route to requeue/backoff, not
+    a permanent 404-class drop.  Only genuine transport errors
+    (URLError/OSError/timeout) propagate to the caller's error path."""
+    import urllib.error
+    import urllib.parse
     import urllib.request
 
+    opener = urllib.request.build_opener(_NoRedirect().handler)
     req = urllib.request.Request(url, headers=headers)
-    with urllib.request.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310
-        return (
-            resp.status,
-            resp.headers.get("Content-Type", ""),
-            resp.read(),
-            resp.geturl(),
-        )
+    try:
+        with opener.open(req, timeout=timeout_s) as resp:  # noqa: S310
+            return (
+                resp.status,
+                resp.headers.get("Content-Type", ""),
+                resp.read(),
+                resp.geturl(),
+            )
+    except urllib.error.HTTPError as e:
+        # a real HTTP response (3xx/4xx/5xx): use its code + headers
+        status = int(e.code)
+        ctype = e.headers.get("Content-Type", "") if e.headers else ""
+        try:
+            body = e.read()
+        except Exception:  # noqa: BLE001 — body unavailable on some 3xx
+            body = b""
+        final_url = url
+        if status in (301, 302, 303, 307, 308) and e.headers:
+            loc = e.headers.get("Location")
+            if loc:
+                final_url = urllib.parse.urljoin(url, loc)
+        e.close()
+        return status, ctype, body, final_url
 
 
 class HttpFetcher:
@@ -65,6 +110,7 @@ class HttpFetcher:
         timeout_s: float = 10.0,
         version: str = "0.1.0",
         sleep: Callable[[float], None] = time.sleep,
+        now: Callable[[], float] = time.time,
     ):
         self.config = config
         self.opener = opener or default_opener
@@ -73,6 +119,7 @@ class HttpFetcher:
         self.timeout_s = timeout_s
         self.version = version
         self.sleep = sleep
+        self.now = now
 
     def _headers(self, host: str) -> dict[str, str]:
         # crawler.go:64-75: basic auth, Rate-Limit-Token, versioned UA
@@ -86,15 +133,26 @@ class HttpFetcher:
             headers["Authorization"] = f"Basic {cred}"
         return headers
 
-    def fetch(self, claimed: DataFrame) -> DataFrame:
+    def fetch(self, claimed: DataFrame, epoch: float | None = None) -> DataFrame:
         """claimed frontier rows → rows + fetch-result columns, fetched inside
         salted politeness buckets with in-group pacing (no executor ever
-        sleeps longer than its own bucket's schedule)."""
+        sleeps longer than its own bucket's schedule).
+
+        All (host, salt) buckets anchor their schedule to a SHARED ``epoch``
+        (batch start wall-clock, captured on the driver) — bucket s sleeps
+        until ``epoch + fetch_offset_s``, so the interleaved offsets hold
+        across executors regardless of when each task starts, and the host
+        truly sees one request per crawl-delay cluster-wide (clock skew
+        between executors is the residual error; the claim budget remains the
+        hard per-batch bound)."""
         allowed = set(self.config.root_hosts_no_port)
         opener = self.opener
         headers_for = self._headers
         timeout_s = self.timeout_s
         sleeper = self.sleep
+        now_fn = self.now
+        if epoch is None:
+            epoch = self.now()
 
         paced = pace_claim(claimed, self.config)
         out_schema = (
@@ -106,7 +164,6 @@ class HttpFetcher:
         def fetch_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
             host, _salt = key
             pdf = pdf.sort_values("fetch_seq").copy()
-            t0 = time.monotonic()
             statuses, ctypes, bodies, redirects = [], [], [], []
             for row in pdf.itertuples(index=False):
                 # host gate WITHOUT port (crawler.go:154-169): not under a
@@ -115,9 +172,9 @@ class HttpFetcher:
                     statuses.append(490)  # engine-internal: host-gate reject
                     ctypes.append(None), bodies.append(None), redirects.append(None)
                     continue
-                wait = row.fetch_offset_s - (time.monotonic() - t0)
+                wait = (epoch + row.fetch_offset_s) - now_fn()
                 if wait > 0:
-                    sleeper(wait)  # the bucket-local politeness schedule
+                    sleeper(wait)  # the shared-epoch politeness schedule
                 try:
                     status, ctype, body, final_url = opener(
                         row.url, headers_for(host), timeout_s

@@ -126,11 +126,20 @@ class DrainLoop:
 
     def seed(self, seeds: DataFrame) -> None:
         """Initial publish of the seed list (the reference's external seeder
-        feeding the exchange).  Seeds enter with state=Enqueued."""
+        feeding the exchange).  Seeds enter with state=Enqueued.
+
+        Canonically-equal seeds are deduplicated (one-row-per-canon invariant
+        of the seen table holds from bootstrap): representative URL = min(url),
+        priority = max(priority) — same rule as the simulator."""
         u = self.udfs
         rows = (
             seeds.withColumn("url_canon", u["canonicalize"]("url"))
             .where(F.col("url_canon").isNotNull())
+            .groupBy("url_canon")
+            .agg(
+                F.min("url").alias("url"),
+                F.max("priority").alias("priority"),
+            )
             .withColumn("url_hash", F.xxhash64("url_canon"))
             .withColumn("host", u["host"]("url"))
             .withColumn("priority", F.col("priority").cast("int"))
@@ -234,7 +243,15 @@ class DrainLoop:
                 )
                 .when(F.col("status").isin(*REDIRECT_STATUSES), "fetch_html")
                 .when(F.col("status") >= 400, "not_found")
-                .when(~ct.is_accepted_col(F.col("content_type")), "reset")
+                # null-safe: a 2xx with NULL/unparsable Content-Type is NOT
+                # accepted (sim: accepted_content_type(None) → False → reset;
+                # three-valued ~NULL would otherwise skip this branch)
+                .when(
+                    ~F.coalesce(
+                        ct.is_accepted_col(F.col("content_type")), F.lit(False)
+                    ),
+                    "reset",
+                )
                 .when(ct.is_html_col(F.col("content_type")), "fetch_html")
                 .otherwise("fetch_other"),
             )

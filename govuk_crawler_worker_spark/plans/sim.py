@@ -91,9 +91,21 @@ def simulate(
     res = SimResult()
     seen_updated: dict[str, int] = {}
 
-    frontier: list[dict] = []
+    # seeds dedup by canon (one-row-per-canon invariant from bootstrap):
+    # representative url = min(url), priority = max(priority)
+    by_canon: dict[str, tuple[str, int]] = {}
     for r in seeds.itertuples(index=False):
-        row = _frontier_row(r.url, int(r.priority), 0, "seed")
+        c = canonicalize(r.url)
+        if c is None:
+            continue
+        if c in by_canon:
+            u, p = by_canon[c]
+            by_canon[c] = (min(u, r.url), max(p, int(r.priority)))
+        else:
+            by_canon[c] = (r.url, int(r.priority))
+    frontier: list[dict] = []
+    for c, (u, p) in by_canon.items():
+        row = _frontier_row(u, p, 0, "seed")
         frontier.append(row)
         res.seen[row["url_canon"]] = 1
         seen_updated[row["url_canon"]] = 0

@@ -217,6 +217,7 @@ def build_world(
             body = f"<html><head></head><body>{''.join(parts)}</body></html>"
 
             status, redirect_to, fail_n, busy_n = 200, None, 0, 0
+            ctype = ct.HTML + "; charset=utf-8"
             if k % 23 == 5 and k + 1 < count:
                 status, redirect_to = 301, _page_url(host, k + 1)
             elif k % 19 == 7:
@@ -225,12 +226,16 @@ def build_world(
                 fail_n = 2  # two 5XXs then success (Incr per 5XX)
             elif k % 97 == 13:
                 fail_n = 99  # permanent 5XX → retry exhaustion → dead
+            elif k % 29 == 9:
+                ctype = None  # 200 with MISSING Content-Type → reset path
+            elif k % 31 == 12:
+                ctype = "; charset=utf-8"  # parameter-only → unparsable → reset
 
             content_rows.append(
                 {
                     "url": url,
                     "status": status,
-                    "content_type": ct.HTML + "; charset=utf-8",
+                    "content_type": ctype,
                     "image_id": None,
                     "body_html": None if status != 200 else body,
                     "redirect_to": redirect_to,

@@ -75,3 +75,74 @@ def test_http_fetcher_paces_within_bucket(spark):
     offs = sorted(r["fetch_offset_s"] for r in rows)
     diffs = [b - a for a, b in zip(offs, offs[1:])]
     assert all(d >= 0.05 - 1e-9 for d in diffs)
+
+
+class TestDefaultOpener:
+    """The production opener against a real local HTTP server: redirects
+    must surface as 3xx statuses (NOT be followed), 429/5xx must surface as
+    real statuses (NOT collapse into the transport-error path), and only
+    genuine transport errors raise."""
+
+    @staticmethod
+    def _server():
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        class H(BaseHTTPRequestHandler):
+            def do_GET(self):
+                route = self.path
+                if route == "/moved":
+                    self.send_response(301)
+                    self.send_header("Location", "/target")
+                    self.end_headers()
+                elif route == "/busy":
+                    self.send_response(429)
+                    self.send_header("Content-Type", "text/html")
+                    self.end_headers()
+                    self.wfile.write(b"slow down")
+                elif route == "/boom":
+                    self.send_response(503)
+                    self.end_headers()
+                elif route == "/gone":
+                    self.send_response(404)
+                    self.end_headers()
+                else:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.end_headers()
+                    self.wfile.write(b'<a href="/next">n</a>')
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def test_statuses_surface_and_redirects_not_followed(self):
+        from govuk_crawler_worker_spark.plans.fetch import default_opener
+
+        srv, base = self._server()
+        try:
+            status, ctype, body, final = default_opener(base + "/ok", {}, 5.0)
+            assert (status, body) == (200, b'<a href="/next">n</a>')
+            assert ctype.startswith("text/html")
+
+            status, _, _, final = default_opener(base + "/moved", {}, 5.0)
+            assert status == 301
+            assert final == base + "/target"  # resolved, NOT fetched
+
+            assert default_opener(base + "/busy", {}, 5.0)[0] == 429
+            assert default_opener(base + "/boom", {}, 5.0)[0] == 503
+            assert default_opener(base + "/gone", {}, 5.0)[0] == 404
+        finally:
+            srv.shutdown()
+
+    def test_transport_error_raises(self):
+        import pytest
+
+        from govuk_crawler_worker_spark.plans.fetch import default_opener
+
+        # unroutable port on localhost → URLError/OSError path
+        with pytest.raises(Exception):
+            default_opener("http://127.0.0.1:9/x", {}, 0.5)

@@ -144,3 +144,40 @@ class TestText:
         out = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprints(docs).collect()}
         for i, t in enumerate(texts):
             assert out[i] == fingerprint_py(t)
+
+
+class TestSimhashScale:
+    def test_candidate_count_subquadratic_beyond_65k_docs(self, spark):
+        """The old 16-bit chunk banding had only 65,536 bucket values per
+        chunk → O(n²/2^16) candidates past ~65k docs.  The (B=6, keep=3)
+        combo key carries ~32 bits, so 200k random signatures must produce
+        candidates near the birthday bound (~tens per combo), nowhere near
+        the ~600M pairs 16-bit banding would emit — and planted 1-bit
+        neighbours must still all be found."""
+        from pyspark.sql import functions as F
+
+        from govuk_crawler_worker_spark.operators.dedup import (
+            simhash_candidates,
+        )
+
+        n = 200_000
+        base = spark.range(n).select(
+            F.col("id").alias("doc_id"), F.xxhash64("id").alias("simhash")
+        )
+        # plant 100 neighbours: doc_id n+i is doc i with one bit flipped
+        planted = (
+            base.where(F.col("doc_id") < 100)
+            .select(
+                (F.col("doc_id") + n).alias("doc_id"),
+                F.col("simhash").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), 17)).alias("simhash"),
+            )
+        )
+        sig = base.unionByName(planted)
+        cand = simhash_candidates(sig, max_hamming=3, n_blocks=6)
+        total = cand.count()
+        assert total < 20_000, total  # sub-quadratic: ≪ n²/2^16 ≈ 6e8
+        found = {
+            (r["a"], r["b"])
+            for r in cand.where(F.col("b") >= n).collect()
+        }
+        assert all((i, n + i) in found for i in range(100))

@@ -157,6 +157,16 @@ class TestParamGates:
         assert not publish_allowed_by_params(f"{GOV}/a?page=2&foo=bar")
         assert not publish_allowed_by_params(f"{GOV}/a?foo")  # bare key counts
 
+    def test_publish_gate_parse_query_error_semantics(self):
+        # Go url.ParseQuery errors on an invalid %-escape in a key OR VALUE
+        # (workflow.go:260-264) → skip; but %ff (valid escape, non-UTF-8
+        # byte) is NOT an error in Go → page-only still publishes
+        assert not publish_allowed_by_params(f"{GOV}/a?page=%zz")  # bad escape in value
+        assert not publish_allowed_by_params(f"{GOV}/a?pa%zge=1")  # bad escape in key
+        assert not publish_allowed_by_params(f"{GOV}/a?page=%2")  # truncated escape
+        assert publish_allowed_by_params(f"{GOV}/a?page=%ff")  # non-UTF-8 ok
+        assert publish_allowed_by_params(f"{GOV}/a?pag%65=1")  # %65='e' → "page"
+
 
 class TestHostSemantics:
     def test_with_port_vs_without(self):
