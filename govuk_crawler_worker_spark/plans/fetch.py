@@ -4,22 +4,25 @@ Reference: ``http_crawler/crawler.go:50-127`` — GET with basic auth,
 ``Rate-Limit-Token`` header, versioned User-Agent; status routing 429/5XX/
 404/redirect; host gate.
 
-Two implementations behind one shape (a DataFrame of claim rows → the same
-rows + ``status, content_type, body_html/bytes, redirect_to``):
+Two implementations behind ONE contract — ``fetch(claimed, epoch)`` maps
+claim rows (which carry ``crawl_count``, the seen state) to the same rows +
+``status int, content_type, body_html, redirect_to`` — and the pipeline's
+route chain is driven purely by the returned ``status``, so both fetchers
+exercise the identical downstream plan:
 
-* **TableFetcher** — joins a content table (the synthetic web).  This is the
-  hermetic test/bench path and lives inline in plans/pipeline.py (the join IS
-  the fetch).
-* **HttpFetcher** (this module) — the production path: fetch inside
+* **TableFetcher** — joins a content table (the synthetic web).  The join IS
+  the fetch; transient faults are emulated by deriving an EFFECTIVE status
+  (429 while ``busy_429_n > attempt_count``, 503 while ``fail_5xx_n`` not yet
+  consumed) from the world's fault counters.  Hermetic test/bench path.
+* **HttpFetcher** — the production path: fetch inside
   ``groupBy(host, salt).applyInPandas`` so the politeness schedule
   (operators/politeness.py) executes WHERE the requests happen: each bucket
-  sleeps to its interleaved offsets, giving the host exactly one request per
-  crawl-delay across the whole cluster.  429/5XX/redirect map to the same
-  route strings the pipeline consumes.
+  sleeps to its shared-epoch interleaved offsets, giving the host one request
+  per crawl-delay across the whole cluster.
 
-The sandbox blocks outbound network, so HttpFetcher is exercised against an
-injected ``opener`` in tests; the default opener is stdlib urllib and is the
-single line a real deployment reviews.
+HttpFetcher is exercised through the FULL drain against a local HTTP server
+(tests/test_http_fetcher.py, tests/test_pipeline_e2e.py) — the sandbox only
+blocks OUTBOUND network.
 """
 
 from __future__ import annotations
@@ -100,6 +103,36 @@ def default_opener(url: str, headers: dict[str, str], timeout_s: float):
         return status, ctype, body, final_url
 
 
+class TableFetcher:
+    """Hermetic fetcher over a synthetic content table (the join IS the
+    fetch).  Emulates the reference's transient-fault behavior
+    (workflow_test.go:165-233) statelessly from the world's fault counters:
+
+    * ``busy_429_n > attempt_count``              → effective status 429
+    * ``fail_5xx_n > max(crawl_count-1, 0)``      → effective status 503
+      (each 5XX increments seen, so the counter is consumed by crawl_count)
+    * missing content row                         → status NULL (→ not_found)
+    """
+
+    def __init__(self, content: DataFrame):
+        self.content = content
+
+    def fetch(self, claimed: DataFrame, epoch: float | None = None) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        joined = claimed.join(self.content, "url", "left")
+        eff = (
+            F.when(F.col("status").isNull(), F.lit(None).cast("int"))
+            .when(F.col("busy_429_n") > F.col("attempt_count"), F.lit(429))
+            .when(
+                F.col("fail_5xx_n") > F.greatest(F.col("crawl_count") - 1, F.lit(0)),
+                F.lit(503),
+            )
+            .otherwise(F.col("status"))
+        )
+        return joined.withColumn("status", eff).drop("busy_429_n", "fail_5xx_n")
+
+
 class HttpFetcher:
     def __init__(
         self,
@@ -146,6 +179,7 @@ class HttpFetcher:
         between executors is the residual error; the claim budget remains the
         hard per-batch bound)."""
         allowed = set(self.config.root_hosts_no_port)
+        max_retries = self.config.max_crawl_retries
         opener = self.opener
         headers_for = self._headers
         timeout_s = self.timeout_s
@@ -166,6 +200,14 @@ class HttpFetcher:
             pdf = pdf.sort_values("fetch_seq").copy()
             statuses, ctypes, bodies, redirects = [], [], [], []
             for row in pdf.itertuples(index=False):
+                # blacklist drop + retry gate (workflow.go:40-44, 93-98)
+                # checked BEFORE the request — such rows must not consume the
+                # host's politeness budget with a wasted fetch; the route
+                # chain drops/deads them regardless of status
+                if getattr(row, "blacklisted", False) or getattr(row, "crawl_count", 0) > max_retries:
+                    statuses.append(None)
+                    ctypes.append(None), bodies.append(None), redirects.append(None)
+                    continue
                 # host gate WITHOUT port (crawler.go:154-169): not under a
                 # root host → ErrCannotCrawlURL → reject-drop
                 if host.split(":", 1)[0] not in allowed:
@@ -194,7 +236,7 @@ class HttpFetcher:
                 except Exception:  # noqa: BLE001 — any transport error → 404-class drop
                     statuses.append(404)
                     ctypes.append(None), bodies.append(None), redirects.append(None)
-            pdf["status"] = pd.array(statuses, dtype="int32")
+            pdf["status"] = pd.array(statuses, dtype="Int32")  # nullable
             pdf["content_type"] = ctypes
             pdf["body_html"] = bodies
             pdf["redirect_to"] = redirects

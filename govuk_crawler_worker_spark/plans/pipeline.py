@@ -97,20 +97,40 @@ class DrainLoop:
         spark: SparkSession,
         catalog: Catalog,
         config: CrawlConfig,
-        content: DataFrame,
-        payload: DataFrame,
-        ttl_batches: int | None = None,
-        backoff_batches: int = 1,
+        content: DataFrame | None = None,
+        payload: DataFrame | None = None,
+        ttl_batches: int | str | None = "auto",
+        backoff_batches: int | None = None,
         use_bloom: bool = True,
         origin: DataFrame | None = None,
         validate_payload: bool = False,
+        fetcher=None,
     ):
+        from govuk_crawler_worker_spark.plans.fetch import TableFetcher
+
         self.spark = spark
         self.catalog = catalog
         self.config = config
         self.content = content
         self.payload = payload
+        if fetcher is None:
+            if content is None:
+                raise ValueError("need a content table or an explicit fetcher")
+            fetcher = TableFetcher(content)
+        self.fetcher = fetcher
+        # seconds → batches conversion for the reference's wall-clock knobs:
+        # TTL_EXPIRE_TIME (12h default, main.go:35) and the 429 back-off
+        # sleep (5s, workflow.go:109) both become batch-count horizons via
+        # the micro-batch period — no executor ever sleeps for back-off.
+        import math
+
+        if ttl_batches == "auto":
+            ttl_batches = max(1, math.ceil(config.ttl_expire_s / config.batch_period_s))
         self.ttl_batches = ttl_batches
+        if backoff_batches is None:
+            backoff_batches = max(
+                1, math.ceil(config.backoff_429_s / config.batch_period_s)
+            )
         self.backoff_batches = backoff_batches
         self.use_bloom = use_bloom
         # north rule: each micro-batch validates decoded pixels against the
@@ -220,27 +240,41 @@ class DrainLoop:
         n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         claimed = claimed.repartition(n_parts, "url_hash")
 
-        # ---- A2: state lookup + fetch + route -------------------------------
+        # ---- A2: state lookup + fetch (pluggable) + status-driven route -----
         # claimed ≤ claim_limit rows → broadcast it against the big tables.
         # NB: claimed is the preserved side of these left joins, so the build
-        # side is the lookup table; at sandbox scale AQE broadcasts it.  On a
-        # real cluster the content join IS the applyInPandas HTTP fetch and
-        # the seen lookup is a bucketed join on url_hash.
+        # side is the lookup table; at sandbox scale AQE broadcasts it.  The
+        # fetcher is pluggable behind one contract (plans/fetch.py):
+        # TableFetcher joins the synthetic web (tests/bench), HttpFetcher
+        # does real paced GETs inside applyInPandas — the route chain below
+        # is driven purely by the returned status, so both paths exercise
+        # the identical downstream plan (crawler.go:84-109 status routing).
         state_lkp = seen.select("url_canon", F.col("state").alias("crawl_count"))
-        routed = (
-            claimed
-            .join(state_lkp, "url_canon", "left")
+        enriched = (
+            claimed.join(state_lkp, "url_canon", "left")
             .fillna({"crawl_count": 0})
-            .join(self.content, "url", "left")
+            # claim-time blacklist re-check (ReadFromQueue drops blacklisted
+            # URLs already IN the queue — workflow.go:40-44 — so a
+            # blacklisted seed is acked away, never fetched)
+            .withColumn("blacklisted", u["is_blacklisted"]("url"))
+        )
+        fetched_raw = self.fetcher.fetch(enriched, epoch=time.time())
+        if "image_id" not in fetched_raw.columns:
+            fetched_raw = fetched_raw.withColumn("image_id", F.lit(None).cast("string"))
+        pacing_cols = [
+            c for c in ("salt", "fetch_seq", "fetch_offset_s") if c in fetched_raw.columns
+        ]
+        routed = (
+            fetched_raw.drop(*pacing_cols)
             .withColumn(
                 "route",
-                F.when(F.col("crawl_count") > cfg.max_crawl_retries, "gate_dead")
+                # blacklist drop FIRST (ReadFromQueue runs before CrawlURL):
+                # acked away — no fetch, no dead record, no seen write
+                F.when(F.col("blacklisted"), "blacklist_drop")
+                .when(F.col("crawl_count") > cfg.max_crawl_retries, "gate_dead")
                 .when(F.col("status").isNull(), "not_found")
-                .when(F.col("busy_429_n") > F.col("attempt_count"), "requeue_429")
-                .when(
-                    F.col("fail_5xx_n") > F.greatest(F.col("crawl_count") - 1, F.lit(0)),
-                    "requeue_5xx",
-                )
+                .when(F.col("status") == 429, "requeue_429")
+                .when((F.col("status") >= 500) & (F.col("status") < 600), "requeue_5xx")
                 .when(F.col("status").isin(*REDIRECT_STATUSES), "fetch_html")
                 .when(F.col("status") >= 400, "not_found")
                 # null-safe: a 2xx with NULL/unparsable Content-Type is NOT

@@ -52,6 +52,7 @@ from govuk_crawler_worker_spark.functions.urlnorm import (
     has_params,
     host_only,
     host_with_port,
+    is_blacklisted_url,
     publish_allowed_by_params,
     rel_file_path,
 )
@@ -150,6 +151,11 @@ def simulate(
         for r in claimed:
             url, canon = r["url"], r["url_canon"]
             state = res.seen.get(canon, 0)
+
+            # claim-time blacklist drop (ReadFromQueue, workflow.go:40-44):
+            # acked away — no fetch, no dead record, no seen write
+            if is_blacklisted_url(url, tuple(config.blacklist_paths)):
+                continue
 
             if state > config.max_crawl_retries:  # retry gate BEFORE fetch
                 res.dead.append({"url": url, "url_canon": canon, "reason": "retries_exhausted", "batch_id": b})

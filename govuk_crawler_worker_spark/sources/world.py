@@ -153,6 +153,13 @@ def build_world(
 
     for host, count in counts.items():
         seeds_rows.append({"url": f"https://{host}/", "priority": 10})
+        if host == HOT_HOST:
+            # a blacklisted SEED: must be acked away at claim time
+            # (ReadFromQueue re-check), never fetched — publish-time
+            # filtering alone cannot catch URLs already in the queue
+            seeds_rows.append({"url": f"https://{host}/search/seeded", "priority": 5})
+            # a duplicate seed (canon-equal): seed() must dedup it
+            seeds_rows.append({"url": f"https://{host}/", "priority": 3})
         # the root page links to the first `branching` pages of the host
         all_hosts = list(counts)
 

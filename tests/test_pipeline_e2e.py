@@ -164,3 +164,120 @@ class TestTTL:
             r.asDict() for r in catalog.read("fetched").select("batch_id", "url_canon").collect()
         ]
         assert fetched_key(engine) == fetched_key(sim.fetched)
+
+
+class TestHttpDrainMatchesSimulator:
+    """The PRODUCTION fetch path through the FULL drain: DrainLoop +
+    HttpFetcher + the real ``default_opener`` (urllib) against a local HTTP
+    server serving the synthetic world (workflow_test.go:148-233 analogue).
+    Host-space URLs are mapped to localhost by encoding the authority as the
+    first path segment — default_opener's redirect/4xx/5xx handling is fully
+    exercised.  Transient faults are stateless-ized (the server has no
+    per-URL memory): permanent 5XX stays, 429/recovering-5XX are cleared."""
+
+    @staticmethod
+    def _statelessize(content):
+        c = content.copy()
+        c.loc[c.busy_429_n > 0, "busy_429_n"] = 0
+        c.loc[(c.fail_5xx_n > 0) & (c.fail_5xx_n < 99), "fail_5xx_n"] = 0
+        return c
+
+    @staticmethod
+    def _serve(content):
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        from urllib.parse import urlsplit
+
+        rows = {}
+        for r in content.itertuples(index=False):
+            u = urlsplit(r.url)
+            key = "/" + u.netloc + u.path + (("?" + u.query) if u.query else "")
+            rows[key] = r
+
+        class H(BaseHTTPRequestHandler):
+            def do_GET(self):
+                r = rows.get(self.path)
+                if r is None:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                if r.fail_5xx_n >= 99:
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+                if r.status in (301, 302, 303, 307):
+                    t = urlsplit(r.redirect_to)
+                    self.send_response(r.status)
+                    self.send_header("Location", "/" + t.netloc + t.path)
+                    self.end_headers()
+                    return
+                self.send_response(int(r.status))
+                if isinstance(r.content_type, str):
+                    self.send_header("Content-Type", r.content_type)
+                body = r.body_html.encode() if isinstance(r.body_html, str) else b""
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+    @staticmethod
+    def _proxy_opener(base):
+        # closure → cloudpickle ships it by value to executor workers
+        def op(url, headers, timeout_s):
+            from urllib.parse import urlsplit
+
+            from govuk_crawler_worker_spark.plans.fetch import default_opener
+
+            u = urlsplit(url)
+            local = (
+                base + "/" + u.netloc + u.path + (("?" + u.query) if u.query else "")
+            )
+            status, ctype, body, final = default_opener(local, headers, timeout_s)
+            if final.startswith(base + "/"):
+                rest = final[len(base) + 1 :]
+                netloc, _, path = rest.partition("/")
+                final = f"https://{netloc}/{path}"
+            return status, ctype, body, final
+
+        return op
+
+    def test_http_drain_reproduces_simulator(self, spark):
+        from govuk_crawler_worker_spark.plans.fetch import HttpFetcher
+
+        world = build_world(n_pages=24, seed=11)
+        content = self._statelessize(world.content)
+        srv, base = self._serve(content)
+        try:
+            payload, _, seeds = world_to_spark(spark, world)
+            tmp = tempfile.mkdtemp(prefix="drain_http_")
+            catalog = Catalog(spark, tmp)
+            fetcher = HttpFetcher(world.config, opener=self._proxy_opener(base))
+            loop = DrainLoop(
+                spark, catalog, world.config, payload=payload, fetcher=fetcher
+            )
+            loop.seed(seeds)
+            loop.drain(max_batches=40)
+        finally:
+            srv.shutdown()
+
+        sim = simulate(content, world.seeds, world.config)
+        engine = [
+            r.asDict()
+            for r in catalog.read("fetched").select("batch_id", "url_canon").collect()
+        ]
+        assert fetched_key(engine) == fetched_key(sim.fetched)
+        assert len(engine) > 15
+        seen = {
+            r["url_canon"]: r["state"]
+            for r in catalog.read("seen").select("url_canon", "state").collect()
+        }
+        assert seen == sim.seen
+        dead = sorted(
+            (r["url_canon"], r["reason"]) for r in catalog.read("dead").collect()
+        )
+        assert dead == sorted((d["url_canon"], d["reason"]) for d in sim.dead)
