@@ -7,8 +7,9 @@ Prints ONE JSON line:
             $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
   scaling = the north-rule two-cluster-size evidence: the identical drain job
             at local[N] vs local[4N] cores on the same input, fresh JVM per
-            level, best-of-k reps (this is a shared noisy host);
-            efficiency = (thr_4N / thr_N) / 4
+            rep, **equal rep counts at both levels in interleaved A/B order**
+            so shared-host noise (±30-40% run-to-run here) cancels instead of
+            biasing one level; efficiency = (best_4N / best_N) / 4
 
 Two drain shapes are measured:
   * bfs   — seed roots, drain the BFS feedback loop to empty (many small
@@ -16,6 +17,10 @@ Two drain shapes are measured:
   * bulk  — pre-seeded frontier drained in ONE max-size batch (the
             steady-state shape at 10^10-URL scale where claim_limit ≫ wave;
             stresses fetch/extract/dedup compute — the scaling measurement)
+
+The bulk world is generated ONCE by the parent and persisted as parquet; each
+rep is a fresh-JVM subprocess reading the same files (identical input, no
+per-rep generation cost, no cross-run JIT warmup bias).
 """
 
 from __future__ import annotations
@@ -31,9 +36,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BULK_PAGES = int(os.environ.get("BENCH_BULK_PAGES", "150000"))
 BFS_PAGES = int(os.environ.get("BENCH_BFS_PAGES", "1500"))
-REPS = int(os.environ.get("BENCH_REPS", "2"))
-# the 4N level shows ±40% neighbor noise; more reps → better best-of estimate
-REPS_4N = int(os.environ.get("BENCH_REPS_4N", "5"))
+# equal reps at BOTH levels, interleaved (N, 4N, N, 4N, ...)
+REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 # Scaling comparison levels (N and 4N per the north rule).  This host has 16
 # physical cores exposed as 32 hyperthreads; 4→16 stays on physical cores so
@@ -70,6 +74,16 @@ def make_spark(cores: int, aqe: bool = True):
     )
 
 
+def _bulk_config(pages: int):
+    from govuk_crawler_worker_spark.config import CrawlConfig
+    from govuk_crawler_worker_spark.sources.world import HOSTS
+
+    return CrawlConfig(
+        root_urls=tuple(f"https://{h}/" for h in HOSTS),
+        claim_limit=max(pages * 2, 10_000),
+    )
+
+
 def bulk_drain(spark, world, tmp: str) -> tuple[int, float]:
     """Pre-seed EVERY page into the frontier; drain in one giant batch.
     Returns (urls_fetched, seconds)."""
@@ -93,6 +107,28 @@ def bulk_drain(spark, world, tmp: str) -> tuple[int, float]:
     dt = time.monotonic() - t0
     fetched = sum(s.fetched for s in stats)
     return fetched, dt
+
+
+def bulk_drain_from_dir(spark, world_dir: str, pages: int, tmp: str) -> tuple[int, float]:
+    """One bulk drain over the shared pre-generated world parquet."""
+    from pyspark.sql import functions as F
+
+    from govuk_crawler_worker_spark.plans.pipeline import DrainLoop
+    from govuk_crawler_worker_spark.sources.catalog import Catalog
+    from govuk_crawler_worker_spark.sources.world import read_world_parquet
+
+    payload, content, _ = read_world_parquet(spark, world_dir)
+    big_seeds = (
+        content.where(F.col("body_html").isNotNull())
+        .select("url", F.lit(0).alias("priority"))
+    )
+    catalog = Catalog(spark, tmp)
+    loop = DrainLoop(spark, catalog, _bulk_config(pages), content, payload)
+    loop.seed(big_seeds)
+    t0 = time.monotonic()
+    stats = loop.drain(max_batches=1)
+    dt = time.monotonic() - t0
+    return sum(s.fetched for s in stats), dt
 
 
 def bfs_drain(spark, world, tmp: str) -> tuple[int, float, int]:
@@ -123,12 +159,12 @@ def run_queries(spark) -> dict[str, float]:
     return out
 
 
-def _bulk_subprocess(cores: int, pages: int) -> None:
-    """Child-process entry: one bulk drain at one parallelism level, fresh
-    JVM (avoids cross-run JIT-warmup bias in the scaling comparison)."""
+def _prepare_bulk_world(pages: int) -> str:
+    """Parent-side, ONCE: generate the synthetic web and persist as parquet
+    so every scaling rep reads the identical input files."""
     import tempfile
 
-    from govuk_crawler_worker_spark.sources.world import build_world
+    from govuk_crawler_worker_spark.sources.world import build_world, world_to_parquet
 
     world = build_world(
         n_pages=pages, images_per_page=0, seed=42, branching=6,
@@ -138,28 +174,45 @@ def _bulk_subprocess(cores: int, pages: int) -> None:
         extra_links_per_page=80, body_pad_words=200,
         claim_limit=max(pages * 2, 10_000),
     )
+    out = tempfile.mkdtemp(prefix="bulkworld_")
+    spark = make_spark(CPUS, aqe=False)
+    spark.sparkContext.setLogLevel("ERROR")
+    world_to_parquet(spark, world, out)
+    spark.stop()
+    return out
+
+
+def _bulk_subprocess(cores: int, pages: int, world_dir: str) -> None:
+    """Child-process entry: ONE bulk drain at one parallelism level, fresh
+    JVM (no cross-run JIT-warmup bias in the scaling comparison)."""
+    import tempfile
+
+    from govuk_crawler_worker_spark.sources.world import build_world
+
     spark = make_spark(cores, aqe=False)
     spark.sparkContext.setLogLevel("ERROR")
     # warmup: tiny drain compiles codegen + spawns the Python UDF workers
     wwarm = build_world(n_pages=30, images_per_page=0, seed=1, branching=6)
     bulk_drain(spark, wwarm, tempfile.mkdtemp(prefix="warm_"))
-    best = None
-    reps = REPS_4N if cores == SCALE_4N else REPS
-    for rep in range(reps):
-        fetched, dt = bulk_drain(
-            spark, world, tempfile.mkdtemp(prefix=f"bulk{cores}r{rep}_")
-        )
-        if best is None or dt < best[1]:
-            best = (fetched, dt)
-    print(json.dumps({"fetched": best[0], "sec": best[1]}))
+    fetched, dt = bulk_drain_from_dir(
+        spark, world_dir, pages, tempfile.mkdtemp(prefix=f"bulk{cores}_")
+    )
+    print(json.dumps({"fetched": fetched, "sec": dt}))
     spark.stop()
 
 
-def _run_bulk(cores: int, pages: int) -> tuple[int, float]:
+def _run_bulk(cores: int, pages: int, world_dir: str) -> tuple[int, float]:
     import subprocess
 
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--bulk", str(cores), str(pages)],
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--bulk",
+            str(cores),
+            str(pages),
+            world_dir,
+        ],
         capture_output=True,
         text=True,
         check=True,
@@ -170,16 +223,22 @@ def _run_bulk(cores: int, pages: int) -> tuple[int, float]:
 
 
 def main() -> None:
+    import shutil
     import tempfile
 
     from govuk_crawler_worker_spark.sources.world import build_world
 
     sf_label = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    # --- scaling: identical bulk job at N and 4N cores, fresh JVM each ---
-    results = {}
-    for cores in (SCALE_N, SCALE_4N):
-        results[cores] = _run_bulk(cores, BULK_PAGES)
+    # --- scaling: identical bulk job, interleaved equal reps at N and 4N ---
+    world_dir = _prepare_bulk_world(BULK_PAGES)
+    times: dict[int, list[float]] = {SCALE_N: [], SCALE_4N: []}
+    fetched_n = 0
+    for _rep in range(REPS):
+        for cores in (SCALE_N, SCALE_4N):
+            fetched_n, sec = _run_bulk(cores, BULK_PAGES, world_dir)
+            times[cores].append(round(sec, 2))
+    shutil.rmtree(world_dir, ignore_errors=True)
 
     bfs_world = build_world(n_pages=BFS_PAGES, images_per_page=1, seed=42, branching=6)
     spark = make_spark(CPUS)
@@ -190,8 +249,8 @@ def main() -> None:
     qtimes = run_queries(spark)
     spark.stop()
 
-    thr_n = results[SCALE_N][0] / results[SCALE_N][1]
-    thr_4n = results[SCALE_4N][0] / results[SCALE_4N][1]
+    thr_n = fetched_n / min(times[SCALE_N])
+    thr_4n = fetched_n / min(times[SCALE_4N])
     eff = (thr_4n / thr_n) / 4.0
 
     print(
@@ -204,6 +263,8 @@ def main() -> None:
                 "queries": qtimes,
                 "drain_bulk": {
                     "pages": BULK_PAGES,
+                    "fetched": fetched_n,
+                    "rep_secs": {str(c): times[c] for c in times},
                     f"local{SCALE_N}_urls_per_sec": round(thr_n, 1),
                     f"local{SCALE_4N}_urls_per_sec": round(thr_4n, 1),
                     f"scaling_efficiency_{SCALE_N}_to_{SCALE_4N}": round(eff, 3),
@@ -222,6 +283,6 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--bulk":
-        _bulk_subprocess(int(sys.argv[2]), int(sys.argv[3]))
+        _bulk_subprocess(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
     else:
         main()

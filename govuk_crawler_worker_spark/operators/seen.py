@@ -18,11 +18,23 @@ Replaces the reference's Redis TTL hash set (ttl_hash_set/ttl_hash_set.go:
   left-anti join against the seen table.  The filters are pure bandwidth
   optimizations; correctness never depends on them.
 
-Scale design: the filter is built distributed — ``mapInPandas`` produces one
-partial bitmap per partition, the driver ORs the (few, fixed-size) partials
-and broadcasts the result.  At 10^10 URLs, segment the filter per seen-table
-generation/partition and probe the OR; the partial-OR pattern below is
-exactly that, capped here at one segment for the sandbox.
+Scale design — the filter NEVER lives on the driver and no row data is ever
+collected: it is a **segmented bloom table** ``(segment int, bits binary)``
+stored in the catalog, segment = ``pmod(url_hash, n_segments)``.
+
+* build/maintain: per-segment partial bitmaps via ``groupBy(segment).
+  applyInPandas`` (``bloom_partials``), OR-merged against the stored rows
+  (``bloom_or_merge``) and committed through the catalog's bucketed merge —
+  maintenance I/O per batch is proportional to the delta's segments.
+* probe: candidates are cogrouped with their segment's bitmap
+  (``bloom_probe_join``) — the bitmap rides the shuffle once per segment,
+  never by closure, never through the driver.
+* at 10^10 URLs / 1% fpp the filter is ~12 GB total; with 1024 segments each
+  bitmap row is ~12 MB — shuffle-safe.  Sandbox uses smaller segment counts.
+
+The driver-resident ``BloomFilter`` class remains the per-partition/per-
+segment compute kernel (and the unit-test surface); ``make_bloom_probe_udf``
+(closure-ship) is kept only for single-process use.
 """
 
 from __future__ import annotations
@@ -123,6 +135,104 @@ def make_bloom_probe_udf(bloom: BloomFilter):
         return pd.Series(bf.contains_many(hashes.to_numpy(dtype=np.int64)))
 
     return probe
+
+
+# -- segmented bloom (catalog-table form; nothing driver-resident) -----------
+
+BLOOM_TABLE_SCHEMA = "segment int, bits binary"
+
+
+def bloom_segment_col(hash_col: str, n_segments: int):
+    return F.pmod(F.col(hash_col), F.lit(n_segments)).cast("int")
+
+
+def bloom_partials(
+    df: DataFrame, hash_col: str, n_segments: int, n_bits: int, k: int
+) -> DataFrame:
+    """(segment, bits) partial bitmaps from a hash column — one shuffle by
+    segment, one fixed-size bitmap per segment, fully distributed."""
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(n_bits, k)
+        bf.add_many(pdf[hash_col].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"segment": [key[0]], "bits": [bf.to_bytes()]})
+
+    return (
+        df.select(hash_col)
+        .withColumn("segment", bloom_segment_col(hash_col, n_segments))
+        .groupBy("segment")
+        .applyInPandas(build, BLOOM_TABLE_SCHEMA)
+    )
+
+
+def bloom_or_merge(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """OR the delta's partial bitmaps into the stored rows (left join on
+    segment; missing old row → delta wins).  Output covers exactly the
+    delta's segments — the caller commits it as a bucketed merge."""
+    from pyspark.sql.types import BinaryType
+
+    o = old.select("segment", F.col("bits").alias("old_bits"))
+
+    @F.pandas_udf(BinaryType())
+    def or_bits(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            if y is None:
+                out.append(bytes(x))
+            else:
+                out.append(
+                    np.bitwise_or(
+                        np.frombuffer(x, dtype=np.uint8),
+                        np.frombuffer(y, dtype=np.uint8),
+                    ).tobytes()
+                )
+        return pd.Series(out)
+
+    return delta.join(o, "segment", "left").select(
+        "segment", or_bits("bits", "old_bits").alias("bits")
+    )
+
+
+def bloom_probe_join(
+    cands: DataFrame,
+    bloom: DataFrame,
+    hash_col: str,
+    n_segments: int,
+    n_bits: int,
+    k: int,
+) -> DataFrame:
+    """cands + ``maybe_seen`` via a cogrouped per-segment probe.
+
+    Shuffle key = segment (uniform by hash); each group sees its candidate
+    rows plus its ONE bitmap row — the bitmap never fans out per candidate
+    row and never touches the driver.  A segment with no bitmap row has no
+    members → certainly new."""
+    c = cands.withColumn("segment", bloom_segment_col(hash_col, n_segments))
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in cands.schema.fields
+    ) + ", maybe_seen boolean"
+
+    def probe(key, cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(bpdf):
+            bf = BloomFilter.from_bytes(bytes(bpdf["bits"].iloc[0]), n_bits, k)
+            hit = bf.contains_many(cpdf[hash_col].to_numpy(dtype=np.int64))
+        else:
+            hit = np.zeros(len(cpdf), dtype=bool)
+        cpdf = cpdf.drop(columns=["segment"]).copy()
+        cpdf["maybe_seen"] = hit
+        return cpdf
+
+    return (
+        c.groupBy("segment")
+        .cogroup(bloom.groupBy("segment"))
+        .applyInPandas(probe, out_schema)
+    )
+
+
+def bloom_sizing(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(n_bits, k) for a capacity — shared by build and probe sides."""
+    bf = BloomFilter.sized_for(max(n_items, 1), fpp)
+    return bf.n_bits, bf.k
 
 
 class CuckooFilter:

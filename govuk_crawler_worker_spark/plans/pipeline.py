@@ -55,10 +55,11 @@ from govuk_crawler_worker_spark.functions import content_types as ct
 from govuk_crawler_worker_spark.functions.extract import make_extract_udf
 from govuk_crawler_worker_spark.functions.urlnorm import make_udfs
 from govuk_crawler_worker_spark.operators.seen import (
-    BloomFilter,
-    build_bloom_distributed,
+    bloom_or_merge,
+    bloom_partials,
+    bloom_probe_join,
+    bloom_sizing,
     expire_seen,
-    make_bloom_probe_udf,
     seen_merge,
 )
 from govuk_crawler_worker_spark.plans import schemas as S
@@ -68,9 +69,25 @@ REDIRECT_STATUSES = (301, 302, 303, 307)
 
 N_PRIORITY_BUCKETS = 4  # frontier partition key: priority_bucket = priority % N
 
+# state-table bucketing (catalog merge buckets — sandbox-sized; a production
+# catalog uses O(1000) buckets + compaction):
+SEEN_BUCKETS = 32  # seen bucketed by pmod(url_hash, N)
+FRONTIER_HOST_BUCKETS = 8  # frontier by (priority_bucket, pmod(hash(host), M))
+BLOOM_SEGMENTS = 16  # segmented bloom table rows
+
 
 def priority_bucket_col(priority):
     return (priority % N_PRIORITY_BUCKETS).cast("int")
+
+
+def seen_bucket_of(df):
+    return F.pmod(F.col("url_hash"), F.lit(SEEN_BUCKETS))
+
+
+def frontier_bucket_of(df):
+    return F.col("priority_bucket") * FRONTIER_HOST_BUCKETS + F.pmod(
+        F.xxhash64(F.col("host")), F.lit(FRONTIER_HOST_BUCKETS)
+    )
 
 
 @dataclass
@@ -105,6 +122,7 @@ class DrainLoop:
         origin: DataFrame | None = None,
         validate_payload: bool = False,
         fetcher=None,
+        bloom_min_batch: int | None = None,
     ):
         from govuk_crawler_worker_spark.plans.fetch import TableFetcher
 
@@ -140,7 +158,13 @@ class DrainLoop:
         self.validate_payload = validate_payload and origin is not None
         self.udfs = make_udfs(config)
         self.extract_udf = make_extract_udf(config)
-        self.bloom: BloomFilter | None = None
+        # strategy switch for the publish dedup, Catalyst-style: while the
+        # seen table is broadcast-sized, the exact anti-join alone is cheapest
+        # (the build side ships once per executor); past this row count the
+        # segmented-bloom pre-filter takes over so the anti-join's input —
+        # and the bitmaps — only ever move by bucketed shuffle.  Forced small
+        # in tests (bloom_min_batch=0) to pin the bloom path's correctness.
+        self.bloom_min_seen = 2_000_000 if bloom_min_batch is None else bloom_min_batch
 
     # -- bootstrap -----------------------------------------------------------
 
@@ -170,6 +194,8 @@ class DrainLoop:
             .withColumn("lineage", F.lit("seed"))
             .select([f.name for f in S.FRONTIER_SCHEMA.fields])
         )
+        rows = rows.localCheckpoint(eager=True)
+        n_seeds = rows.count()
         seen = rows.select(
             "url_hash",
             "url_canon",
@@ -177,17 +203,55 @@ class DrainLoop:
             F.lit(0).cast("long").alias("updated_batch"),
         )
         self.catalog.commit(
-            replaces={"frontier": rows, "seen": seen},
-            meta={"next_batch": 0},
-            partition_by={"frontier": ["priority_bucket"]},
+            merges={
+                "frontier": dict(delta=rows, key="url_canon", bucket_of=frontier_bucket_of),
+                "seen": dict(delta=seen, key="url_canon", bucket_of=seen_bucket_of),
+            },
+            meta={"next_batch": 0, "frontier_size": n_seeds, "seen_size": n_seeds},
         )
 
-    def _ensure_bloom(self, seen: DataFrame) -> None:
-        if not self.use_bloom or self.bloom is not None:
-            return
-        enqueued = seen.where(F.col("state") >= S.STATE_ENQUEUED)
-        est = max(enqueued.count() * 16, 1 << 16)
-        self.bloom = build_bloom_distributed(enqueued, "url_hash", est)
+    # -- segmented bloom lifecycle (catalog-table state, no driver bitmaps) ---
+
+    def _bloom_for_batch(self, b: int, prev_meta: dict, seen_raw: DataFrame):
+        """Returns (probe_view | None, commit_rows | None, bloom_meta | None).
+
+        Lazy maintenance with a watermark: the bloom table covers every seen
+        row with ``updated_batch < wm``.  A probing batch first folds the
+        [wm, b) delta in (distributed partial-OR); small batches skip probe
+        AND maintenance entirely (zero bloom jobs — the exact anti-join alone
+        is cheaper below ``bloom_min_batch`` candidates).  Rebuild from the
+        full raw seen table when items outgrow capacity.  Over-inclusion is
+        always safe (reset/TTL rows stay in the filter; the exact join
+        decides) — what matters is NO false negatives, guaranteed because
+        every committed seen row is folded before any probe."""
+        meta = prev_meta.get("bloom")
+        seen_size = int(prev_meta.get("seen_size", 0))
+        if meta is not None and seen_size <= meta["capacity"]:
+            nb, k, wm = meta["n_bits"], meta["k"], meta["wm"]
+            delta = seen_raw.where(F.col("updated_batch") >= F.lit(wm))
+            partials = bloom_partials(delta, "url_hash", BLOOM_SEGMENTS, nb, k)
+            old = self.catalog.read("bloom", "segment int, bits binary")
+            merged = bloom_or_merge(old, partials).localCheckpoint(eager=True)
+            probe_view = old.join(
+                merged.select("segment"), "segment", "left_anti"
+            ).unionByName(merged)
+            new_meta = dict(meta, wm=b)
+        else:
+            # (re)build: size for 8× the current seen set, per segment
+            capacity = max(seen_size * 8, 1 << 14)
+            nb, k = bloom_sizing(capacity // BLOOM_SEGMENTS + 1)
+            merged = bloom_partials(
+                seen_raw, "url_hash", BLOOM_SEGMENTS, nb, k
+            ).localCheckpoint(eager=True)
+            probe_view = merged
+            new_meta = {
+                "n_bits": nb,
+                "k": k,
+                "wm": b,
+                "capacity": capacity,
+                "segments": BLOOM_SEGMENTS,
+            }
+        return probe_view, merged, new_meta
 
     # -- one micro-batch -------------------------------------------------------
 
@@ -200,11 +264,10 @@ class DrainLoop:
         stats = BatchStats(batch_id=b)
         stage_t = time.monotonic()
 
+        prev_meta = dict(self.catalog.latest()["meta"])
         frontier = self.catalog.read("frontier", S.FRONTIER_SCHEMA)
-        seen = expire_seen(
-            self.catalog.read("seen", S.SEEN_SCHEMA), b, self.ttl_batches
-        )
-        self._ensure_bloom(seen)
+        seen_raw = self.catalog.read("seen", S.SEEN_SCHEMA)
+        seen = expire_seen(seen_raw, b, self.ttl_batches)
 
         # ---- A1: claim -----------------------------------------------------
         eligible = frontier.where(F.col("not_before_batch") <= F.lit(b))
@@ -222,10 +285,22 @@ class DrainLoop:
             # size — the worst possible claim-stage skew.
             budgeted = eligible
         else:
-            w_host = Window.partitionBy("host").orderBy(*order)
+            # SALTED politeness window: partitioning the rank window by host
+            # alone would put a hot host's entire eligible set in ONE task.
+            # Split each host's budget across k salt ranks (canonical salt =
+            # crc32(url_canon) % k, reproducible in the simulator); the
+            # remainder rotates with the batch id so no salt rank starves a
+            # URL forever.  Σ_s budget_s = budget exactly, so the per-batch
+            # politeness bound is unchanged.
+            k = cfg.host_salt_buckets
+            salt = F.pmod(F.crc32(F.col("url_canon").cast("binary")), F.lit(k))
+            salt_budget = F.floor(budget / k) + F.when(
+                F.pmod(salt + F.lit(b), F.lit(k)) < budget % k, 1
+            ).otherwise(0)
+            w_host = Window.partitionBy("host", salt).orderBy(*order)
             budgeted = (
                 eligible.withColumn("host_rank", F.row_number().over(w_host))
-                .where(F.col("host_rank") <= budget)
+                .where(F.col("host_rank") <= salt_budget)
                 .drop("host_rank")
             )
         # The global top-K claim (orderBy+limit) leaves the batch in ONE
@@ -393,12 +468,21 @@ class DrainLoop:
         enqueued_seen = seen_after_claim.where(
             F.col("state") >= S.STATE_ENQUEUED
         ).select("url_canon")
-        if self.bloom is not None:
-            probe = make_bloom_probe_udf(self.bloom)
-            cands = cands.withColumn("maybe_seen", probe("url_hash")).localCheckpoint(
-                eager=True
+        # segmented-bloom pre-filter: engaged once the seen table outgrows
+        # broadcast (strategy switch, see __init__); below that the exact
+        # anti-join alone is cheaper.  NOTHING is collected either way.
+        probe_view = bloom_rows = bloom_meta = None
+        if self.use_bloom and int(prev_meta.get("seen_size", 0)) >= self.bloom_min_seen:
+            probe_view, bloom_rows, bloom_meta = self._bloom_for_batch(
+                b, prev_meta, seen_raw
             )
-            # bloom-negative → certainly new (no false negatives): skip the join
+        if probe_view is not None:
+            nb, k = bloom_meta["n_bits"], bloom_meta["k"]
+            cands = bloom_probe_join(
+                cands, probe_view, "url_hash", BLOOM_SEGMENTS, nb, k
+            ).localCheckpoint(eager=True)
+            # bloom-negative → certainly new (no false negatives: the filter
+            # covers every committed seen row): skip the join entirely
             certainly_new = cands.where(~F.col("maybe_seen")).drop("maybe_seen")
             confirmed_new = (
                 cands.where(F.col("maybe_seen"))
@@ -419,10 +503,8 @@ class DrainLoop:
             .select([f.name for f in S.FRONTIER_SCHEMA.fields])
             .localCheckpoint(eager=True)
         )
-        # one action: the insert hashes feed both the published count and the
-        # incremental bloom maintenance
-        insert_hashes = [r["url_hash"] for r in inserts.select("url_hash").collect()]
-        stats.published = len(insert_hashes)
+        # bounded count — no row data ever reaches the driver
+        stats.published = inserts.count()
         stats.stage_ms["publish_urls"] = (time.monotonic() - stage_t) * 1000
         stage_t = time.monotonic()
 
@@ -433,7 +515,13 @@ class DrainLoop:
             F.lit(S.STATE_ENQUEUED).alias("state"),
             F.lit(b).cast("long").alias("updated_batch"),
         )
-        new_seen = seen_merge(seen_after_claim, publish_delta)
+        # one upsert set for the bucketed commit: publish wins over claim on
+        # the same canon (a reset row republished same-batch ends Enqueued)
+        seen_delta = claim_delta.join(
+            publish_delta.select("url_canon").hint("broadcast"),
+            "url_canon",
+            "left_anti",
+        ).unionByName(publish_delta)
 
         # ---- dead + requeues + next frontier ---------------------------------
         dead_new = routed.where(F.col("route").isin("gate_dead", "not_found")).select(
@@ -460,12 +548,11 @@ class DrainLoop:
             .select([f.name for f in S.FRONTIER_SCHEMA.fields])
         )
 
-        claimed_keys = routed.select("url_canon")
-        frontier_next = (
-            frontier.join(claimed_keys.hint("broadcast"), "url_canon", "left_anti")
-            .unionByName(requeues)
-            .unionByName(inserts)
-        )
+        # frontier becomes a bucketed merge: deletes = every claimed row
+        # (carrying the bucket inputs), upserts = requeues ∪ inserts —
+        # commit I/O touches only those rows' buckets
+        frontier_deletes = routed.select("url_canon", "priority_bucket", "host")
+        frontier_delta = requeues.unionByName(inserts)
 
         # one aggregation job covers all per-route stats (routed is checkpointed)
         route_counts = {
@@ -479,12 +566,6 @@ class DrainLoop:
         stats.fetched = route_counts.get("fetch_html", 0) + route_counts.get(
             "fetch_other", 0
         )
-
-        # ---- incremental bloom maintenance ------------------------------------
-        if self.bloom is not None and insert_hashes:
-            import numpy as np
-
-            self.bloom.add_many(np.array(insert_hashes, dtype=np.int64))
 
         # ---- metrics (B30 StatsD labels) --------------------------------------
         stats.stage_ms["read_from_queue"] = 0.0  # folded into claim/crawl_url
@@ -507,12 +588,37 @@ class DrainLoop:
             appends["validation"] = report
 
         # ---- A6 + exactly-once: ONE atomic commit -----------------------------
-        self.catalog.commit(
-            replaces={"frontier": frontier_next, "seen": new_seen},
-            appends=appends,
-            meta={"next_batch": b + 1},
-            partition_by={"frontier": ["priority_bucket"]},
+        # frontier + seen + bloom are bucketed MERGES (per-bucket rewrite,
+        # untouched bucket files carried forward as pointers); fetched / dead /
+        # metrics are appends — every table's I/O is delta-proportional.
+        merges = {
+            "frontier": dict(
+                delta=frontier_delta,
+                key="url_canon",
+                bucket_of=frontier_bucket_of,
+                deletes=frontier_deletes,
+            ),
+            "seen": dict(delta=seen_delta, key="url_canon", bucket_of=seen_bucket_of),
+        }
+        if bloom_rows is not None:
+            merges["bloom"] = dict(
+                delta=bloom_rows,
+                key="segment",
+                bucket_of=lambda df: F.col("segment"),
+            )
+        prev_n = prev_meta.get("frontier_size", eligible_hint)
+        if prev_n is None:
+            prev_n = frontier.count()
+        new_meta = dict(prev_meta)
+        new_meta["next_batch"] = b + 1
+        new_meta["frontier_size"] = (
+            int(prev_n) - stats.claimed + stats.requeued + stats.published
         )
+        new_meta["seen_size"] = int(prev_meta.get("seen_size", 0)) + stats.published
+        if bloom_meta is not None:
+            new_meta["bloom"] = bloom_meta
+        self.catalog.commit(appends=appends, merges=merges, meta=new_meta)
+        stats.frontier_size = new_meta["frontier_size"]
         stats.duration_s = time.monotonic() - t0
         return stats
 
@@ -523,23 +629,31 @@ class DrainLoop:
         publish→consume feedback loop has no more work) or the budget runs
         out.  Resumes from the last committed ``next_batch``."""
         out: list[BatchStats] = []
-        b = int(self.catalog.latest()["meta"].get("next_batch", 0))
+        meta = self.catalog.latest()["meta"]
+        b = int(meta.get("next_batch", 0))
         end = b + max_batches
         while b < end:
-            frontier = self.catalog.read("frontier", S.FRONTIER_SCHEMA)
-            n, min_nb = frontier.agg(
-                F.count(F.lit(1)), F.min("not_before_batch")
-            ).collect()[0]
+            meta = self.catalog.latest()["meta"]
+            n = meta.get("frontier_size")
+            if n is None:  # legacy/foreign catalog: count once
+                n = self.catalog.read("frontier", S.FRONTIER_SCHEMA).count()
+            n = int(n)
             if n == 0:
                 break
-            # all rows backed off past b? jump the clock instead of spinning
-            if min_nb is not None and min_nb > b:
-                b = int(min_nb)
-                continue
-            stats = self.run_batch(b, eligible_hint=int(n))
-            stats.frontier_size = n
+            stats = self.run_batch(b, eligible_hint=n)
             out.append(stats)
             if progress:
                 progress(stats)
+            if stats.claimed == 0:
+                # every row is backed off past b — jump the clock to the
+                # earliest not_before instead of spinning (bounded agg, only
+                # on this rare path)
+                min_nb = self.catalog.read("frontier", S.FRONTIER_SCHEMA).agg(
+                    F.min("not_before_batch")
+                ).collect()[0][0]
+                if min_nb is None or int(min_nb) <= b:
+                    break
+                b = int(min_nb)
+                continue
             b += 1
         return out

@@ -7,7 +7,12 @@ well-defined at batch granularity (SURVEY.md §7).  This module IS the spec of
 the canonical order:
 
     batch claim order  = (priority DESC, url_canon ASC)
-    per-host budget    = row_number within host (same order) ≤ host_budget
+    per-host budget    = split across k = host_salt_buckets salt ranks
+                         (salt = crc32(url_canon) % k); rank within
+                         (host, salt) in the same order must be ≤
+                         budget//k + (1 if (salt+batch) % k < budget%k) —
+                         the remainder rotates with the batch id so no salt
+                         rank starves.  Σ_s budget_s = host_budget exactly.
     global claim limit = first `claim_limit` of the budget-filtered order
 
 and of every state transition, mirroring the reference message-at-a-time
@@ -36,6 +41,7 @@ set+order, seen map, and dead set exactly — that is the pytest gate.
 
 from __future__ import annotations
 
+import zlib
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -132,15 +138,21 @@ def simulate(
             # nothing claimable yet — advance the clock (back-off wait)
             continue
 
-        host_taken: dict[str, int] = {}
+        politeness_on = bool(config.crawl_delay_by_host) or config.default_crawl_delay_s > 0
+        k = config.host_salt_buckets
+        salt_taken: dict[tuple[str, int], int] = {}
         claimed: list[dict] = []
         for r in eligible:
             if len(claimed) >= config.claim_limit:
                 break
-            budget = config.host_budget(r["host"])
-            if host_taken.get(r["host"], 0) >= budget:
-                continue
-            host_taken[r["host"]] = host_taken.get(r["host"], 0) + 1
+            if politeness_on:
+                budget = config.host_budget(r["host"])
+                salt = zlib.crc32(r["url_canon"].encode("utf-8")) % k
+                cap = budget // k + (1 if (salt + b) % k < budget % k else 0)
+                key = (r["host"], salt)
+                if salt_taken.get(key, 0) >= cap:
+                    continue
+                salt_taken[key] = salt_taken.get(key, 0) + 1
             claimed.append(r)
 
         claimed_ids = {id(r) for r in claimed}

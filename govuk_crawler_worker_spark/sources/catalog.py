@@ -13,11 +13,15 @@ runtime jar, so we implement the same contract — immutable parquet snapshots
 `overwritePartitions` inside one transaction); only this file changes.
 
 Scale notes (100 TB / 10^10-URL frontier):
-* copy-on-write snapshots here rewrite a whole table; Iceberg restricts the
-  rewrite to touched partitions — the engine therefore always writes the
-  frontier partitioned by ``priority_bucket`` so a real catalog commits only
-  drained partitions.
-* the commit manifest is O(#tables) JSON — no scaling concern.
+* **bucketed merge tables** (``merges=``): a table is hash-bucketed on its
+  key; a commit rewrites ONLY the buckets its delta touches and carries the
+  other buckets forward as manifest pointers — commit I/O is proportional to
+  the delta's bucket footprint, never the table (the Iceberg
+  ``MERGE INTO`` / bucket-partition-overwrite analogue).  Bucket count is a
+  sandbox-sized parameter; a production catalog uses O(1000) buckets +
+  periodic compaction.
+* plain ``replaces`` copy-on-write remains for small whole tables.
+* the commit manifest is O(#tables × #buckets) JSON — no scaling concern.
 * readers are never blocked: a commit is a single ``os.rename`` of the
   manifest; concurrent readers see the previous snapshot (snapshot isolation,
   same guarantee Iceberg gives).
@@ -65,6 +69,15 @@ class Catalog:
 
     # -- reads ----------------------------------------------------------------
 
+    def _reader_for(self, manifest, name):
+        from pyspark.sql.types import StructType
+
+        stored = manifest.get("schemas", {}).get(name)
+        reader = self.spark.read
+        if stored is not None:
+            reader = reader.schema(StructType.fromJson(json.loads(stored)))
+        return reader
+
     def read(self, name: str, schema=None) -> DataFrame:
         """Latest snapshot of ``name``; empty DataFrame with ``schema`` if the
         table has never been committed (create-if-absent semantics, the
@@ -74,21 +87,34 @@ class Catalog:
         snapshots written from empty DataFrames — which produce no parquet
         part files — read back correctly."""
         manifest = self.latest()
-        segs = manifest["tables"].get(name)
+        segs = list(manifest["tables"].get(name) or [])
+        segs += list((manifest.get("parts", {}).get(name) or {}).values())
         if not segs:
             if schema is None:
                 raise KeyError(f"table {name!r} absent and no schema given")
             return self.spark.createDataFrame([], schema)
-        from pyspark.sql.types import StructType
+        return self._reader_for(manifest, name).parquet(
+            *(os.path.join(self.root, s) for s in segs)
+        )
 
-        stored = manifest.get("schemas", {}).get(name)
-        reader = self.spark.read
-        if stored is not None:
-            reader = reader.schema(StructType.fromJson(json.loads(stored)))
-        return reader.parquet(*(os.path.join(self.root, s) for s in segs))
+    def read_buckets(self, name: str, buckets, schema=None) -> DataFrame:
+        """Read ONLY the given buckets of a merge table — I/O proportional to
+        the bucket list (file-level pruning via the manifest's bucket→dir
+        map, the partition-pruning analogue)."""
+        manifest = self.latest()
+        parts = manifest.get("parts", {}).get(name) or {}
+        segs = [parts[str(b)] for b in buckets if str(b) in parts]
+        if not segs:
+            if schema is None:
+                raise KeyError(f"no buckets of {name!r} and no schema given")
+            return self.spark.createDataFrame([], schema)
+        return self._reader_for(manifest, name).parquet(
+            *(os.path.join(self.root, s) for s in segs)
+        )
 
     def exists(self, name: str) -> bool:
-        return bool(self.latest()["tables"].get(name))
+        m = self.latest()
+        return bool(m["tables"].get(name)) or bool(m.get("parts", {}).get(name))
 
     # -- atomic multi-table commit --------------------------------------------
 
@@ -96,24 +122,39 @@ class Catalog:
         self,
         replaces: dict[str, DataFrame] | None = None,
         appends: dict[str, DataFrame] | None = None,
+        merges: dict[str, dict] | None = None,
         meta: dict[str, Any] | None = None,
         partition_by: dict[str, list[str]] | None = None,
     ) -> int:
         """Write new snapshot segments then publish them plus carried-forward
         pointers for untouched tables in ONE rename — all-or-nothing.
 
-        ``replaces`` rewrites a table (copy-on-write — frontier, seen);
+        ``replaces`` rewrites a table (copy-on-write, small tables only);
         ``appends`` adds a segment to grow-only tables (fetched, dead,
-        metrics) so per-batch I/O stays proportional to the delta, exactly
-        like an Iceberg append snapshot.
+        metrics); ``merges`` upserts/deletes into a hash-bucketed table,
+        rewriting ONLY touched buckets (the Iceberg MERGE INTO analogue):
 
-        A crash before the rename leaves orphan snapshot files (harmless,
-        same as uncommitted Iceberg data files) and the previous commit
-        intact: resume never sees a torn batch.
+            merges={"seen": {
+                "delta":   <upsert rows, full schema>,
+                "key":     "url_canon",          # upsert/delete identity
+                "bucket_of": lambda df: <int Column computed from row cols>,
+                "deletes": <rows to delete, carrying key + bucket inputs>,
+            }}
+
+        Untouched buckets keep pointing at their previous snapshot files
+        (byte-identical across commits); touched buckets are rewritten as
+        old∖keys ∪ delta.  A crash before the rename leaves orphan snapshot
+        files (harmless, same as uncommitted Iceberg data files) and the
+        previous commit intact: resume never sees a torn batch.
         """
+        from pyspark.sql import functions as F
+
         prev = self.latest()
         n = prev["commit_id"] + 1
         tables: dict[str, list[str]] = {k: list(v) for k, v in prev["tables"].items()}
+        parts: dict[str, dict[str, str]] = {
+            k: dict(v) for k, v in prev.get("parts", {}).items()
+        }
         schemas: dict[str, str] = dict(prev.get("schemas", {}))
         partition_by = partition_by or {}
 
@@ -125,6 +166,41 @@ class Catalog:
             writer.parquet(os.path.join(self.root, rel))
             return rel
 
+        def write_merge(name: str, spec: dict) -> tuple[str, list[str], str]:
+            delta, key = spec["delta"], spec["key"]
+            bucket_of = spec["bucket_of"]
+            deletes = spec.get("deletes")
+            schema_json = json.dumps(delta.schema.jsonValue())
+            keyed = delta.select(
+                F.col(key).alias("_k"), bucket_of(delta).cast("int").alias("_pb")
+            )
+            if deletes is not None:
+                keyed = keyed.unionByName(
+                    deletes.select(
+                        F.col(key).alias("_k"),
+                        bucket_of(deletes).cast("int").alias("_pb"),
+                    )
+                )
+            # touched bucket ids: bounded by the bucket count — tiny collect
+            touched = [r["_pb"] for r in keyed.select("_pb").distinct().collect()]
+            if not touched:
+                return name, [], schema_json
+            old = self.read_buckets(name, touched, schema=delta.schema)
+            kept = old.join(
+                keyed.select(F.col("_k").alias(key)).distinct().hint("broadcast"),
+                key,
+                "left_anti",
+            )
+            merged = kept.unionByName(delta)
+            rel = os.path.join("tables", name, f"snap-{n:08d}")
+            (
+                merged.withColumn("_pb", bucket_of(merged).cast("int"))
+                .write.mode("overwrite")
+                .partitionBy("_pb")
+                .parquet(os.path.join(self.root, rel))
+            )
+            return name, touched, schema_json
+
         # The snapshot writes are independent Spark jobs — submit them
         # concurrently so per-commit latency is max(write) not sum(write)
         # (matters in the small-wave BFS regime where commit latency is the
@@ -135,22 +211,49 @@ class Catalog:
         work = [("replace", k, df) for k, df in (replaces or {}).items()] + [
             ("append", k, df) for k, df in (appends or {}).items()
         ]
+        merge_work = list((merges or {}).items())
         for _mode, name, df in work:
             schemas[name] = json.dumps(df.schema.jsonValue())
-        if len(work) > 1:
-            with ThreadPoolExecutor(max_workers=len(work)) as pool:
-                rels = list(pool.map(lambda w: write(w[1], w[2]), work))
+
+        def run(unit):
+            kind, payload = unit
+            if kind == "plain":
+                mode, name, df = payload
+                return kind, (mode, name, write(name, df))
+            return kind, write_merge(*payload)
+
+        units = [("plain", w) for w in work] + [("merge", mw) for mw in merge_work]
+        if len(units) > 1:
+            with ThreadPoolExecutor(max_workers=len(units)) as pool:
+                results = list(pool.map(run, units))
         else:
-            rels = [write(w[1], w[2]) for w in work]
-        for (mode, name, _df), rel in zip(work, rels):
-            if mode == "replace":
-                tables[name] = [rel]
+            results = [run(u) for u in units]
+
+        for kind, res in results:
+            if kind == "plain":
+                mode, name, rel = res
+                if mode == "replace":
+                    tables[name] = [rel]
+                else:
+                    tables.setdefault(name, []).append(rel)
             else:
-                tables.setdefault(name, []).append(rel)
+                name, touched, schema_json = res
+                schemas[name] = schema_json
+                if touched:
+                    tmap = parts.setdefault(name, {})
+                    rel = os.path.join("tables", name, f"snap-{n:08d}")
+                    for b in touched:
+                        leaf = os.path.join(rel, f"_pb={b}")
+                        if os.path.isdir(os.path.join(self.root, leaf)):
+                            tmap[str(b)] = leaf
+                        else:
+                            # bucket fully drained by deletes → drop pointer
+                            tmap.pop(str(b), None)
 
         manifest = {
             "commit_id": n,
             "tables": tables,
+            "parts": parts,
             "schemas": schemas,
             "meta": meta or {},
         }
@@ -175,8 +278,12 @@ class Catalog:
         live: set[str] = set()
         for c in keep:
             with open(self._commit_path(c)) as fh:
-                for segs in json.load(fh)["tables"].values():
-                    live.update(segs)
+                m = json.load(fh)
+            for segs in m["tables"].values():
+                live.update(segs)
+            for tmap in m.get("parts", {}).values():
+                # a bucket leaf keeps its whole snapshot dir alive
+                live.update(os.path.dirname(leaf) for leaf in tmap.values())
         tables_dir = os.path.join(self.root, "tables")
         for tname in os.listdir(tables_dir):
             tdir = os.path.join(tables_dir, tname)

@@ -135,3 +135,122 @@ class TestSeenTable:
         out = expire_seen(seen, batch_id=10, ttl_batches=5)
         assert [r["url_canon"] for r in out.collect()] == ["new"]
         assert expire_seen(seen, 10, None).count() == 2
+
+
+class TestBucketedMerge:
+    """The catalog's MERGE path: per-bucket rewrite with untouched buckets
+    carried forward as pointers — commit I/O proportional to the delta."""
+
+    @staticmethod
+    def _bucket_of(df):
+        return F.pmod(F.col("k"), F.lit(8))
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    def test_upsert_delete_semantics(self, spark):
+        import tempfile as tf
+
+        cat = Catalog(spark, tf.mkdtemp(prefix="catm_"))
+        base = self._mk(spark, [(i, f"v{i}") for i in range(32)])
+        cat.commit(merges={"t": dict(delta=base, key="k", bucket_of=self._bucket_of)})
+        assert cat.read("t").count() == 32
+        # upsert k=3, delete k=4
+        cat.commit(
+            merges={
+                "t": dict(
+                    delta=self._mk(spark, [(3, "NEW")]),
+                    key="k",
+                    bucket_of=self._bucket_of,
+                    deletes=self._mk(spark, [(4, "")]),
+                )
+            }
+        )
+        got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+        assert got[3] == "NEW" and 4 not in got and len(got) == 31
+
+    def test_untouched_bucket_files_identical_across_commits(self, spark):
+        """The scale property: a commit whose delta touches buckets {3} must
+        leave every other bucket's files untouched on disk (same paths, same
+        bytes — they are literally the same files, carried by pointer)."""
+        import os
+        import tempfile as tf
+
+        root = tf.mkdtemp(prefix="catm_")
+        cat = Catalog(spark, root)
+        base = self._mk(spark, [(i, f"v{i}") for i in range(64)])
+        cat.commit(merges={"t": dict(delta=base, key="k", bucket_of=self._bucket_of)})
+
+        def bucket_files():
+            parts = cat.latest()["parts"]["t"]
+            out = {}
+            for b, rel in parts.items():
+                d = os.path.join(root, rel)
+                out[b] = {
+                    f: (os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                }
+            return parts, out
+
+        parts0, files0 = bucket_files()
+        # delta touches only bucket 3 (k=3, 11, 19 → all pmod 8 = 3)
+        cat.commit(
+            merges={
+                "t": dict(
+                    delta=self._mk(spark, [(11, "x")]),
+                    key="k",
+                    bucket_of=self._bucket_of,
+                )
+            }
+        )
+        parts1, files1 = bucket_files()
+        assert parts1["3"] != parts0["3"]  # touched bucket repointed
+        for b in parts0:
+            if b == "3":
+                continue
+            assert parts1[b] == parts0[b], b  # same directory pointer
+            assert files1[b] == files0[b], b  # same files, same mtimes/sizes
+        # and the data still reads correctly
+        got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+        assert got[11] == "x" and got[3] == "v3" and len(got) == 64
+
+    def test_bucket_fully_drained_drops_pointer(self, spark):
+        import tempfile as tf
+
+        cat = Catalog(spark, tf.mkdtemp(prefix="catm_"))
+        base = self._mk(spark, [(0, "a"), (8, "b"), (1, "c")])  # buckets 0,0,1
+        cat.commit(merges={"t": dict(delta=base, key="k", bucket_of=self._bucket_of)})
+        empty = self._mk(spark, []).limit(0)
+        cat.commit(
+            merges={
+                "t": dict(
+                    delta=empty,
+                    key="k",
+                    bucket_of=self._bucket_of,
+                    deletes=self._mk(spark, [(0, ""), (8, "")]),
+                )
+            }
+        )
+        assert "0" not in cat.latest()["parts"]["t"]
+        assert {r["k"] for r in cat.read("t").collect()} == {1}
+
+    def test_merge_expire_snapshots_keeps_carried_buckets(self, spark):
+        import tempfile as tf
+
+        cat = Catalog(spark, tf.mkdtemp(prefix="catm_"))
+        base = self._mk(spark, [(i, f"v{i}") for i in range(64)])
+        cat.commit(merges={"t": dict(delta=base, key="k", bucket_of=self._bucket_of)})
+        for i in range(4):
+            cat.commit(
+                merges={
+                    "t": dict(
+                        delta=self._mk(spark, [(3, f"u{i}")]),
+                        key="k",
+                        bucket_of=self._bucket_of,
+                    )
+                }
+            )
+        cat.expire_snapshots(keep_last=1)
+        got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+        assert got[3] == "u3" and len(got) == 64

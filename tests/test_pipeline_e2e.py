@@ -281,3 +281,31 @@ class TestHttpDrainMatchesSimulator:
             (r["url_canon"], r["reason"]) for r in catalog.read("dead").collect()
         )
         assert dead == sorted((d["url_canon"], d["reason"]) for d in sim.dead)
+
+
+class TestSegmentedBloom:
+    """Force the segmented-bloom path on every batch (bloom_min_batch=0):
+    the probe runs cogrouped per segment with bitmaps maintained as a
+    catalog table — results must stay identical to the simulator (the
+    filter is a pre-filter only; exactness never depends on it), and no
+    bitmap ever lives on the driver."""
+
+    def test_drain_with_bloom_forced_matches_sim(self, spark, small_world):
+        tmp = tempfile.mkdtemp(prefix="drain_bloom_")
+        catalog, loop, _ = run_drain(spark, small_world, tmp, bloom_min_batch=0)
+        sim = simulate(small_world.content, small_world.seeds, small_world.config)
+        engine = [
+            r.asDict()
+            for r in catalog.read("fetched").select("batch_id", "url_canon").collect()
+        ]
+        assert fetched_key(engine) == fetched_key(sim.fetched)
+        seen = {
+            r["url_canon"]: r["state"]
+            for r in catalog.read("seen").select("url_canon", "state").collect()
+        }
+        assert seen == sim.seen
+        # the bloom table exists, is segmented, and its meta is committed
+        bloom = catalog.read("bloom")
+        assert 0 < bloom.count()
+        meta = catalog.latest()["meta"]["bloom"]
+        assert meta["n_bits"] > 0 and meta["wm"] > 0
