@@ -319,6 +319,35 @@ def seen_merge(seen: DataFrame, delta: DataFrame) -> DataFrame:
     ).unionByName(delta)
 
 
+def seen_ttl(
+    seen: DataFrame, keys: DataFrame, batch_id: int, ttl_batches: int | None
+) -> DataFrame:
+    """Per-key remaining TTL with Redis sign semantics (TTLForKey,
+    ttl_hash_set.go:177-189; sign cases ttl_hash_set_test.go:156-175):
+
+    * present with expiry  → remaining batches (≥ 0 while alive; a key whose
+      window elapsed reads as absent → -2, matching the expire-at-read model)
+    * present, no TTL configured → -1
+    * absent               → -2
+
+    ``keys`` is a DataFrame with a ``url_canon`` column (the introspection
+    batch); the lookup is one left join."""
+    lkp = seen.select("url_canon", "updated_batch")
+    joined = keys.select("url_canon").join(lkp, "url_canon", "left")
+    if ttl_batches is None:
+        ttl = F.when(F.col("updated_batch").isNotNull(), F.lit(-1)).otherwise(
+            F.lit(-2)
+        )
+    else:
+        remaining = F.col("updated_batch") + F.lit(ttl_batches) - F.lit(batch_id)
+        ttl = (
+            F.when(F.col("updated_batch").isNull(), F.lit(-2))
+            .when(remaining < 0, F.lit(-2))  # elapsed ≡ gone (expire-at-read)
+            .otherwise(remaining)
+        )
+    return joined.select("url_canon", ttl.cast("long").alias("ttl_batches"))
+
+
 def expire_seen(seen: DataFrame, batch_id: int, ttl_batches: int | None) -> DataFrame:
     """Generation expiry: every write refreshed updated_batch (as every Redis
     write refreshed the TTL, ttl_hash_set.go:64-65,87); rows older than the

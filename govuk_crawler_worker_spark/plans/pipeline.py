@@ -123,6 +123,7 @@ class DrainLoop:
         validate_payload: bool = False,
         fetcher=None,
         bloom_min_batch: int | None = None,
+        mirror_root: str | None = None,
     ):
         from govuk_crawler_worker_spark.plans.fetch import TableFetcher
 
@@ -165,6 +166,9 @@ class DrainLoop:
         # and the bitmaps — only ever move by bucketed shuffle.  Forced small
         # in tests (bloom_min_batch=0) to pin the bloom path's correctness.
         self.bloom_min_seen = 2_000_000 if bloom_min_batch is None else bloom_min_batch
+        # optional disk-mirror export (workflow.go:173-189): executors write
+        # MIRROR_ROOT/<rel_path> during the batch via pass-through stages
+        self.mirror_root = mirror_root
 
     # -- bootstrap -----------------------------------------------------------
 
@@ -392,7 +396,15 @@ class DrainLoop:
             .withColumn("rel_path", u["rel_file_path"]("url", "eff_content_type"))
             .withColumn("has_params", u["has_params"]("url"))
             .withColumn("mime", ct.mime_col(F.col("eff_content_type")))
-            .drop("body", "body_html")
+        )
+        if self.mirror_root:
+            from govuk_crawler_worker_spark.plans.mirror import make_body_writer
+
+            routed = routed.mapInPandas(
+                make_body_writer(self.mirror_root), routed.schema
+            )
+        routed = (
+            routed.drop("body", "body_html")
             .localCheckpoint(eager=True)  # bounded (≤ claim_limit rows); reused 6×
         )
         stats.stage_ms["crawl_url"] = (time.monotonic() - stage_t) * 1000
@@ -415,6 +427,12 @@ class DrainLoop:
             .join(self.payload, "image_id", "left")
             .select([f.name for f in S.FETCHED_SCHEMA.fields])
         )
+        if self.mirror_root:
+            from govuk_crawler_worker_spark.plans.mirror import make_payload_writer
+
+            fetched_new = fetched_new.mapInPandas(
+                make_payload_writer(self.mirror_root), fetched_new.schema
+            )
         stats.stage_ms["write_to_disk"] = (time.monotonic() - stage_t) * 1000
         stage_t = time.monotonic()
 
