@@ -224,9 +224,16 @@ def _dedup_jaccard_words(spark, sf):
 
 
 def _dedup_minhash_lsh(spark, sf):
+    """16 bands × 2 rows over 32 perms: per-pair miss probability at the
+    data's minimum ground-truth jaccard (0.8) is (1-0.8²)^16 ≈ 8e-8, so the
+    exact-verified LSH output EQUALS the exhaustive shingle-jaccard pair set
+    — which is what the DuckDB oracle computes (a full value oracle, not a
+    rows-only check; verified identical at sf0.01 and sf0.1)."""
     from govuk_crawler_worker_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf, "documents"), jaccard_threshold=0.5)
+    return minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_perm=32, bands=16, jaccard_threshold=0.5
+    )
 
 
 def _dedup_simhash(spark, sf):
@@ -281,6 +288,51 @@ def _doc_fingerprints(spark, sf):
     return doc_fingerprints(_t(spark, sf, "documents"))
 
 
+def _ann_recall_floor(spark, sf):
+    """Property oracle for the ANN path: every query's top-5 recall vs the
+    exact baseline must clear a floor (deterministic given data + seeded
+    hyperplanes) — the driver-checked form of the recall pytest."""
+    from govuk_crawler_worker_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(emb, queries, k=5).select(
+        "qid", F.col("neighbor").alias("n")
+    )
+    ann = lsh_topk(emb, queries, k=5).select("qid", F.col("neighbor").alias("n"))
+    hits = exact.join(ann, ["qid", "n"], "left_semi").groupBy("qid").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select("qid", (F.coalesce("hits", F.lit(0)) / 5 >= 0.3).alias("recall_ok"))
+    )
+
+
+def _ttl_semantics(spark, sf):
+    """seen_ttl over a seen-shaped projection of the documents table —
+    Redis TTLForKey sign semantics (alive ≥0 / absent|elapsed -2) with a
+    plain-SQL oracle."""
+    from govuk_crawler_worker_spark.operators.seen import seen_ttl
+
+    d = _t(spark, sf, "documents")
+    seen = d.select(
+        F.col("doc_id").cast("long").alias("url_hash"),
+        F.col("doc_id").cast("string").alias("url_canon"),
+        F.lit(1).alias("state"),
+        (F.length("text") % 50).cast("long").alias("updated_batch"),
+    )
+    keys = d.select(F.col("doc_id").cast("string").alias("url_canon")).union(
+        spark.range(5).select(F.concat(F.lit("missing-"), F.col("id")).alias("url_canon"))
+    )
+    return seen_ttl(seen, keys, batch_id=40, ttl_batches=20)
+
+
 def _image_features(spark, sf):
     # multimodal plumbing over a deterministic generated payload (the driver
     # tables carry no binary column); rows-only check by design
@@ -316,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _embedding_near_dups,
         "cosine_topk": _cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_recall_floor": _ann_recall_floor,
+        "ttl_semantics": _ttl_semantics,
         "text_quality": _text_quality,
         "token_counts": _token_counts,
         "language_id": _language_id,
@@ -451,6 +505,53 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings l JOIN embeddings r
               ON l.label = r.label AND l.vec_id < r.vec_id
             WHERE round(list_cosine_similarity(l.embedding, r.embedding), 4) >= 0.35
+        """,
+        "dedup_minhash_lsh": """
+            WITH sh0 AS (
+              SELECT doc_id,
+                     unnest(list_distinct([
+                       string_split(text,' ')[i] || ' ' ||
+                       string_split(text,' ')[i+1] || ' ' ||
+                       string_split(text,' ')[i+2]
+                       for i in range(1, greatest(len(string_split(text,' '))-2,0)+1)
+                     ])) AS shingle
+              FROM documents
+            ),
+            hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+            sh AS (SELECT s.doc_id, s.shingle FROM sh0 s ANTI JOIN hot h USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b, round(CAST(i AS DOUBLE)/(sa.n+sb.n-i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE round(CAST(i AS DOUBLE)/(sa.n+sb.n-i), 4) >= 0.5
+        """,
+        "ann_recall_floor": """
+            SELECT DISTINCT vec_id AS qid, true AS recall_ok
+            FROM embeddings WHERE vec_id % 100 = 0
+        """,
+        "ttl_semantics": """
+            WITH seen AS (
+              SELECT CAST(doc_id AS VARCHAR) AS url_canon,
+                     CAST(length(text) % 50 AS BIGINT) AS updated_batch
+              FROM documents
+            ),
+            keys AS (
+              SELECT CAST(doc_id AS VARCHAR) AS url_canon FROM documents
+              UNION ALL
+              SELECT 'missing-' || CAST(r AS VARCHAR) FROM range(5) t(r)
+            )
+            SELECT k.url_canon,
+                   CAST(CASE WHEN s.updated_batch IS NULL THEN -2
+                             WHEN s.updated_batch + 20 - 40 < 0 THEN -2
+                             ELSE s.updated_batch + 20 - 40 END AS BIGINT)
+                     AS ttl_batches
+            FROM keys k LEFT JOIN seen s USING (url_canon)
         """,
         "cosine_topk": """
             SELECT qid, rank, neighbor, cosine FROM (
