@@ -114,6 +114,10 @@ class TableFetcher:
     * missing content row                         → status NULL (→ not_found)
     """
 
+    # re-executable without side effects (a join) — lets the drain cache the
+    # routed batch with persist() instead of a localCheckpoint job
+    pure = True
+
     def __init__(self, content: DataFrame):
         self.content = content
 

@@ -169,6 +169,13 @@ class DrainLoop:
         # optional disk-mirror export (workflow.go:173-189): executors write
         # MIRROR_ROOT/<rel_path> during the batch via pass-through stages
         self.mirror_root = mirror_root
+        # Wave-sized shuffling: a 500-row BFS wave through 32-partition
+        # shuffles pays 32 tasks of scheduling per stage for nothing (the
+        # small-batch floor is stage-scheduling bound — measured ~30% of
+        # per-batch latency).  Size shuffle partitions to the eligible wave
+        # (~2k rows/partition, floor 8), capped at the session's configured
+        # value so big batches are untouched; restored after drain().
+        self._shuffle0 = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     # -- bootstrap -----------------------------------------------------------
 
@@ -267,6 +274,9 @@ class DrainLoop:
         cfg, u = self.config, self.udfs
         stats = BatchStats(batch_id=b)
         stage_t = time.monotonic()
+        if eligible_hint is not None:
+            wave_parts = max(8, min(self._shuffle0, eligible_hint // 2000))
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(wave_parts))
 
         prev_meta = dict(self.catalog.latest()["meta"])
         frontier = self.catalog.read("frontier", S.FRONTIER_SCHEMA)
@@ -405,7 +415,37 @@ class DrainLoop:
             )
         routed = (
             routed.drop("body", "body_html")
-            .localCheckpoint(eager=True)  # bounded (≤ claim_limit rows); reused 6×
+            # Materialize the batch once (reused 6×).  localCheckpoint beats
+            # persist() here (measured ~20% on the BFS floor: every one of
+            # the six consumers pays InMemoryRelation scan setup, while a
+            # checkpoint is a plain local RDD) and guarantees a
+            # side-effecting fetcher (HTTP) can never re-fetch.
+            .localCheckpoint(eager=True)
+        )
+
+        # one aggregation job covers all per-route stats; the extra grouping
+        # keys cost nothing and let the commit skip appends that would write
+        # empty tables
+        rc = routed.groupBy(
+            "route",
+            F.coalesce(F.col("ex.error"), F.lit(False)).alias("exerr"),
+            F.coalesce(F.col("has_params"), F.lit(True)).alias("hp"),
+        ).count().collect()
+        route_counts: dict[str, int] = {}
+        n_extract_err = n_fetch_rows = 0
+        for r in rc:
+            route_counts[r["route"]] = route_counts.get(r["route"], 0) + r["count"]
+            if r["route"] == "fetch_html" and r["exerr"]:
+                n_extract_err += r["count"]
+            if r["route"] in ("fetch_html", "fetch_other") and not r["hp"]:
+                n_fetch_rows += r["count"]
+        stats.claimed = sum(route_counts.values())
+        stats.requeued = route_counts.get("requeue_429", 0) + route_counts.get(
+            "requeue_5xx", 0
+        )
+        stats.dead = route_counts.get("gate_dead", 0) + route_counts.get("not_found", 0)
+        stats.fetched = route_counts.get("fetch_html", 0) + route_counts.get(
+            "fetch_other", 0
         )
         stats.stage_ms["crawl_url"] = (time.monotonic() - stage_t) * 1000
         stage_t = time.monotonic()
@@ -572,19 +612,6 @@ class DrainLoop:
         frontier_deletes = routed.select("url_canon", "priority_bucket", "host")
         frontier_delta = requeues.unionByName(inserts)
 
-        # one aggregation job covers all per-route stats (routed is checkpointed)
-        route_counts = {
-            r["route"]: r["count"] for r in routed.groupBy("route").count().collect()
-        }
-        stats.claimed = sum(route_counts.values())
-        stats.requeued = route_counts.get("requeue_429", 0) + route_counts.get(
-            "requeue_5xx", 0
-        )
-        stats.dead = route_counts.get("gate_dead", 0) + route_counts.get("not_found", 0)
-        stats.fetched = route_counts.get("fetch_html", 0) + route_counts.get(
-            "fetch_other", 0
-        )
-
         # ---- metrics (B30 StatsD labels) --------------------------------------
         stats.stage_ms["read_from_queue"] = 0.0  # folded into claim/crawl_url
         metrics_rows = [
@@ -594,8 +621,14 @@ class DrainLoop:
         metrics_df = self.spark.createDataFrame(metrics_rows, S.METRICS_SCHEMA)
 
         # ---- per-batch payload validation (north rule) ------------------------
-        appends = {"fetched": fetched_new, "dead": dead_new, "metrics": metrics_df}
-        if self.validate_payload:
+        # skip appends that would write empty tables (counts already known —
+        # saves 1-2 write jobs per batch in the BFS tail)
+        appends = {"metrics": metrics_df}
+        if n_fetch_rows > 0:
+            appends["fetched"] = fetched_new
+        if stats.dead + n_extract_err > 0:
+            appends["dead"] = dead_new
+        if self.validate_payload and n_fetch_rows > 0:
             from govuk_crawler_worker_spark.plans.validate import (
                 validate_fetched_images,
             )
@@ -650,6 +683,14 @@ class DrainLoop:
         meta = self.catalog.latest()["meta"]
         b = int(meta.get("next_batch", 0))
         end = b + max_batches
+        try:
+            return self._drain(b, end, out, progress)
+        finally:
+            # restore the session's configured shuffle width (run_batch sizes
+            # it to each wave)
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self._shuffle0))
+
+    def _drain(self, b, end, out, progress):
         while b < end:
             meta = self.catalog.latest()["meta"]
             n = meta.get("frontier_size")

@@ -166,11 +166,10 @@ class Catalog:
             writer.parquet(os.path.join(self.root, rel))
             return rel
 
-        def write_merge(name: str, spec: dict) -> tuple[str, list[str], str]:
+        def merge_keyed(spec: dict) -> DataFrame:
             delta, key = spec["delta"], spec["key"]
             bucket_of = spec["bucket_of"]
             deletes = spec.get("deletes")
-            schema_json = json.dumps(delta.schema.jsonValue())
             keyed = delta.select(
                 F.col(key).alias("_k"), bucket_of(delta).cast("int").alias("_pb")
             )
@@ -181,10 +180,17 @@ class Catalog:
                         bucket_of(deletes).cast("int").alias("_pb"),
                     )
                 )
-            # touched bucket ids: bounded by the bucket count — tiny collect
-            touched = [r["_pb"] for r in keyed.select("_pb").distinct().collect()]
+            return keyed
+
+        def write_merge(
+            name: str, spec: dict, touched: list[int]
+        ) -> tuple[str, list[str], str]:
+            delta, key = spec["delta"], spec["key"]
+            bucket_of = spec["bucket_of"]
+            schema_json = json.dumps(delta.schema.jsonValue())
             if not touched:
                 return name, [], schema_json
+            keyed = merge_keyed(spec)
             old = self.read_buckets(name, touched, schema=delta.schema)
             kept = old.join(
                 keyed.select(F.col("_k").alias(key)).distinct().hint("broadcast"),
@@ -195,6 +201,11 @@ class Catalog:
             rel = os.path.join("tables", name, f"snap-{n:08d}")
             (
                 merged.withColumn("_pb", bucket_of(merged).cast("int"))
+                # co-locate each bucket into one task before partitionBy —
+                # otherwise every task writes a file per bucket and the
+                # snapshot explodes into tasks×buckets tiny files (file
+                # listing then dominates the next batch's read)
+                .repartition(max(len(touched), 1), F.col("_pb"))
                 .write.mode("overwrite")
                 .partitionBy("_pb")
                 .parquet(os.path.join(self.root, rel))
@@ -215,12 +226,24 @@ class Catalog:
         for _mode, name, df in work:
             schemas[name] = json.dumps(df.schema.jsonValue())
 
+        # ONE job computes every merge table's touched-bucket set (tagged
+        # union) — commit latency matters in the small-batch BFS regime
+        touched_by: dict[str, list[int]] = {name: [] for name, _ in merge_work}
+        if merge_work:
+            tagged = None
+            for name, spec in merge_work:
+                t = merge_keyed(spec).select(F.lit(name).alias("_t"), "_pb").distinct()
+                tagged = t if tagged is None else tagged.unionByName(t)
+            for r in tagged.distinct().collect():
+                touched_by[r["_t"]].append(int(r["_pb"]))
+
         def run(unit):
             kind, payload = unit
             if kind == "plain":
                 mode, name, df = payload
                 return kind, (mode, name, write(name, df))
-            return kind, write_merge(*payload)
+            name, spec = payload
+            return kind, write_merge(name, spec, touched_by[name])
 
         units = [("plain", w) for w in work] + [("merge", mw) for mw in merge_work]
         if len(units) > 1:
