@@ -8,10 +8,13 @@ payload rows).
 training-data-pipeline operators (dedup family, similarity search, text
 analysis), each runnable on the driver's parquet tables at any sf dir.
 
-``oracle_sql()``   — matching ANSI SQL for DuckDB cross-checks.  Entries
-omitted here (minhash/simhash/LSH-ANN/fingerprint/image ops/crawl drain) are
-genuinely non-SQL-expressible or depend on engine-side hashing; the driver
-records the weaker rows-only check for them by design.
+``oracle_sql()``   — matching ANSI SQL for DuckDB cross-checks.  24 of 28
+queries are value-checked, including a FULL value oracle for MinHash-LSH
+(band parameters make recall provably 1.0 on this data, so LSH output equals
+the exhaustive shingle-jaccard pair set) and a driver-checked ANN recall
+floor.  The 4 rows-only entries (simhash pairs, raw ANN top-k, polynomial
+fingerprint, image features) are genuinely engine-hash-dependent or
+non-SQL-expressible; each carries a pytest pinning its semantics instead.
 """
 
 from __future__ import annotations

@@ -40,11 +40,13 @@ BFS_PAGES = int(os.environ.get("BENCH_BFS_PAGES", "1500"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 # Scaling comparison levels (N and 4N per the north rule).  This host has 16
-# physical cores exposed as 32 hyperthreads; 4→16 stays on physical cores so
-# the per-core capacity assumption of "scaling efficiency" holds (8→32 would
-# measure hyperthreading, not the engine — pure-CPU baselines cap at ~0.7
-# there).  Override with BENCH_SCALE_N.
-SCALE_N = int(os.environ.get("BENCH_SCALE_N", "4"))
+# physical cores exposed as 32 hyperthreads.  A level local[c] really runs
+# ~2c busy contexts during UDF stages (c JVM threads + c Python workers), so
+# 2→8 is the largest pair where BOTH levels stay on dedicated physical cores
+# (8→32 would measure hyperthreading, not the engine; at 4→16 the big level
+# saturates the machine while the small one borrows free cores — both bias
+# the ratio down).  Override with BENCH_SCALE_N.
+SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
 SCALE_4N = SCALE_N * 4
 
 
@@ -184,10 +186,18 @@ def _prepare_bulk_world(pages: int) -> str:
 
 def _bulk_subprocess(cores: int, pages: int, world_dir: str) -> None:
     """Child-process entry: ONE bulk drain at one parallelism level, fresh
-    JVM (no cross-run JIT-warmup bias in the scaling comparison)."""
+    JVM (no cross-run JIT-warmup bias in the scaling comparison).
+
+    No CPU pinning: the host's 32 vCPUs map onto 16 physical cores with an
+    opaque sibling layout, so pinning to vCPU ranges can silently halve one
+    level's physical cores.  Instead the scaling PAIR is chosen (default
+    2→8) so that JVM threads + Python UDF workers of the larger level still
+    fit the physical cores — both levels run un-contended and per-core
+    capacity is comparable."""
     import tempfile
 
     from govuk_crawler_worker_spark.sources.world import build_world
+
 
     spark = make_spark(cores, aqe=False)
     spark.sparkContext.setLogLevel("ERROR")
@@ -243,6 +253,12 @@ def main() -> None:
     bfs_world = build_world(n_pages=BFS_PAGES, images_per_page=1, seed=42, branching=6)
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    # warmup drain (codegen + python-worker spawn), then the timed BFS
+    bfs_drain(
+        spark,
+        build_world(n_pages=60, images_per_page=1, seed=1, branching=6),
+        tempfile.mkdtemp(prefix="bfswarm_"),
+    )
     bfs_fetched, bfs_dt, bfs_batches = bfs_drain(
         spark, bfs_world, tempfile.mkdtemp(prefix="bfs_")
     )
@@ -275,6 +291,7 @@ def main() -> None:
                     "fetched": bfs_fetched,
                     "urls_per_sec": round(bfs_fetched / bfs_dt, 1),
                     "total_sec": round(bfs_dt, 1),
+                    "sec_per_batch": round(bfs_dt / max(bfs_batches, 1), 2),
                 },
             }
         )

@@ -170,15 +170,23 @@ def minhash_lsh_pairs(
     sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sig = minhash_signatures(sh, num_perm)
 
-    band_rows = None
-    for bidx in range(bands):
-        cols = [F.col(f"mh{bidx * rows_per_band + r}") for r in range(rows_per_band)]
-        br = sig.select(
-            "doc_id",
-            F.lit(bidx).alias("band"),
-            F.xxhash64(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bh"),
+    # one scan emits every band key (explode beats a bands-way union: the
+    # signature aggregation runs once, not `bands` times)
+    band_keys = [
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{bidx * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
         )
-        band_rows = br if band_rows is None else band_rows.unionByName(br)
+        for bidx in range(bands)
+    ]
+    band_rows = sig.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "bh")
+    )
 
     cand = (
         band_rows.alias("l")
