@@ -208,7 +208,11 @@ class HttpFetcher:
                 # checked BEFORE the request — such rows must not consume the
                 # host's politeness budget with a wasted fetch; the route
                 # chain drops/deads them regardless of status
-                if getattr(row, "blacklisted", False) or getattr(row, "crawl_count", 0) > max_retries:
+                if (
+                    getattr(row, "blacklisted", False)
+                    or getattr(row, "robots_blocked", False)
+                    or getattr(row, "crawl_count", 0) > max_retries
+                ):
                     statuses.append(None)
                     ctypes.append(None), bodies.append(None), redirects.append(None)
                     continue

@@ -54,6 +54,7 @@ from govuk_crawler_worker_spark.config import CrawlConfig
 from govuk_crawler_worker_spark.functions import content_types as ct
 from govuk_crawler_worker_spark.functions.extract import make_extract_udf
 from govuk_crawler_worker_spark.functions.urlnorm import make_udfs
+from govuk_crawler_worker_spark.operators.politeness import robots_disallowed_col
 from govuk_crawler_worker_spark.operators.seen import (
     bloom_or_merge,
     bloom_partials,
@@ -346,6 +347,9 @@ class DrainLoop:
             # URLs already IN the queue — workflow.go:40-44 — so a
             # blacklisted seed is acked away, never fetched)
             .withColumn("blacklisted", u["is_blacklisted"]("url"))
+            # robots.txt disallow rules (north-rule politeness; columnar
+            # prefix predicate, no UDF) — dropped like blacklist, pre-fetch
+            .withColumn("robots_blocked", robots_disallowed_col(cfg))
         )
         fetched_raw = self.fetcher.fetch(enriched, epoch=time.time())
         if "image_id" not in fetched_raw.columns:
@@ -360,6 +364,7 @@ class DrainLoop:
                 # blacklist drop FIRST (ReadFromQueue runs before CrawlURL):
                 # acked away — no fetch, no dead record, no seen write
                 F.when(F.col("blacklisted"), "blacklist_drop")
+                .when(F.col("robots_blocked"), "robots_drop")
                 .when(F.col("crawl_count") > cfg.max_crawl_retries, "gate_dead")
                 .when(F.col("status").isNull(), "not_found")
                 .when(F.col("status") == 429, "requeue_429")

@@ -53,6 +53,7 @@ from govuk_crawler_worker_spark.functions.content_types import (
     parse_media_type,
 )
 from govuk_crawler_worker_spark.functions.extract import extract_urls
+from govuk_crawler_worker_spark.operators.politeness import robots_disallowed_py
 from govuk_crawler_worker_spark.functions.urlnorm import (
     canonicalize,
     has_params,
@@ -167,6 +168,10 @@ def simulate(
             # claim-time blacklist drop (ReadFromQueue, workflow.go:40-44):
             # acked away — no fetch, no dead record, no seen write
             if is_blacklisted_url(url, tuple(config.blacklist_paths)):
+                continue
+
+            # robots.txt disallow (north-rule politeness): dropped likewise
+            if robots_disallowed_py(config, url, r["host"]):
                 continue
 
             if state > config.max_crawl_retries:  # retry gate BEFORE fetch

@@ -309,3 +309,33 @@ class TestSegmentedBloom:
         assert 0 < bloom.count()
         meta = catalog.latest()["meta"]["bloom"]
         assert meta["n_bits"] > 0 and meta["wm"] > 0
+
+
+class TestRobotsInDrain:
+    def test_robots_disallowed_never_fetched_and_matches_sim(self, spark):
+        import dataclasses
+
+        world = build_world(n_pages=24, seed=9)
+        # disallow one section prefix on the hot host via robots rules
+        world = dataclasses.replace(
+            world,
+            config=dataclasses.replace(
+                world.config, robots_disallow={"www.gov.uk": ("/s1",)}
+            ),
+        )
+        tmp = tempfile.mkdtemp(prefix="drain_robots_")
+        catalog, _, _ = run_drain(spark, world, tmp)
+        sim = simulate(world.content, world.seeds, world.config)
+        engine = [
+            r.asDict()
+            for r in catalog.read("fetched").select("batch_id", "url_canon", "url").collect()
+        ]
+        assert fetched_key(engine) == fetched_key(sim.fetched)
+        assert all(not r["url"].startswith("https://www.gov.uk/s1") for r in engine)
+        # the rule actually bit: sim without robots fetches /s1 pages
+        free = simulate(
+            world.content,
+            world.seeds,
+            dataclasses.replace(world.config, robots_disallow={}),
+        )
+        assert len(free.fetched) > len(sim.fetched)

@@ -53,3 +53,34 @@ def test_robots_filter(spark):
     assert all("/p00" not in p for p in hot_paths)
     assert any("/p01" in p for p in hot_paths)
     assert len([r for r in out if r["host"] == "cold.gov.uk"]) == 6
+
+
+class TestRobotsParser:
+    def test_groups_and_agent_specificity(self):
+        from govuk_crawler_worker_spark.operators.politeness import parse_robots_txt
+
+        txt = """
+# site rules
+User-agent: *
+Disallow: /search
+Disallow: /admin
+
+User-agent: govuk_crawler_worker_spark
+User-agent: govuk_crawler
+Disallow: /private
+
+User-agent: otherbot
+Disallow: /
+"""
+        assert parse_robots_txt(txt, "randombot") == ("/search", "/admin")
+        # exact agent beats *
+        assert parse_robots_txt(txt, "govuk_crawler") == ("/private",)
+        # substring match: UA string contains the token
+        assert parse_robots_txt(txt, "govuk_crawler_worker_spark/0.1.0 on host 'x'") == ("/private",)
+        assert parse_robots_txt(txt, "otherbot") == ("/",)
+
+    def test_empty_disallow_allows_all(self):
+        from govuk_crawler_worker_spark.operators.politeness import parse_robots_txt
+
+        assert parse_robots_txt("User-agent: *\nDisallow:\n", "x") == ()
+        assert parse_robots_txt("", "x") == ()
