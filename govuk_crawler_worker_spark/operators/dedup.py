@@ -72,27 +72,32 @@ def jaccard_word_pairs(
     vocabulary (slightly coarser similarity; near-dup pairs share rare words
     overwhelmingly, so the practical recall effect is negligible)."""
     ws = _word_sets(docs, text_col, id_col, block_col)
-    exploded = ws.select("doc_id", "block", F.explode("words").alias("word"))
+    # the join key is xxhash64(block ␟ word): one 8-byte long instead of two
+    # strings through the self-join shuffle (a 64-bit collision across the
+    # ~1e5-entry vocabulary is ~1e-9 — far below any other error source)
+    exploded = (
+        ws.select("doc_id", "block", F.explode("words").alias("word"))
+        .select(
+            "doc_id", F.xxhash64(F.concat_ws("\x1f", "block", "word")).alias("bw")
+        )
+    )
     hot = (
-        exploded.groupBy("block", "word")
+        exploded.groupBy("bw")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > max_word_df)
-        .select("block", "word")
+        .select("bw")
     )
-    exploded = exploded.join(F.broadcast(hot), ["block", "word"], "left_anti")
+    exploded = exploded.join(F.broadcast(hot), "bw", "left_anti")
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     inter = (
         exploded.alias("l")
         .join(
             exploded.alias("r"),
-            (F.col("l.block") == F.col("r.block"))
-            & (F.col("l.word") == F.col("r.word"))
+            (F.col("l.bw") == F.col("r.bw"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .groupBy(
-            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
-        )
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (

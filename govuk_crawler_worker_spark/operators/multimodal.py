@@ -90,18 +90,42 @@ def resize_images(payload: DataFrame, factor: int = 2) -> DataFrame:
     )
 
 
-def frame_sample_stub(video: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — STUB: the container has no video codec.  The
-    plan shape (binary in → exploded frame rows out via mapInPandas) is the
-    real contract; the decode call raises until a codec is provided."""
+FRAME_SCHEMA = "video_id string, frame_idx int, w int, h int, frame_bytes binary"
+
+
+def frame_sample(video: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling: binary container column in → exploded frame
+    rows out (every ``every_n``-th frame, PNG-encoded), one ``mapInPandas``
+    pass.  The plumbing — schema, Arrow batch shape, 1→many row fan-out,
+    per-partition decode — is the production contract; the codec is the
+    self-contained NVID1 raw container (sources/images.py), and any other
+    container raises NotImplementedError until ffmpeg bindings are plugged
+    in (the sandbox ships none).  Scale note: partition by video_id upstream
+    so one task never holds more than a few containers in memory."""
 
     def sample(batches):
         for pdf in batches:
-            if len(pdf):
-                raise NotImplementedError(
-                    "video decode requires ffmpeg bindings not present in this "
-                    "container; swap this stub for a real decoder"
-                )
-            yield pd.DataFrame(columns=["video_id", "frame_idx", "frame_bytes"])
+            rows = []
+            for r in pdf.itertuples(index=False):
+                frames = img.decode_video(bytes(r.bytes))
+                for i in range(0, len(frames), every_n):
+                    f = frames[i]
+                    rows.append(
+                        {
+                            "video_id": r.video_id,
+                            "frame_idx": i,
+                            "w": f.shape[1],
+                            "h": f.shape[0],
+                            "frame_bytes": img.encode_png(f),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_idx", "w", "h", "frame_bytes"]
+            )
 
-    return video.mapInPandas(sample, "video_id string, frame_idx int, frame_bytes binary")
+    return video.select("video_id", "bytes").mapInPandas(sample, FRAME_SCHEMA)
+
+
+def frame_sample_stub(video: DataFrame, every_n: int = 30) -> DataFrame:
+    """Backward-compat alias for the round-1 stub name."""
+    return frame_sample(video, every_n)

@@ -145,3 +145,43 @@ def make_pixels(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
     )
     noise = rng.integers(-16, 17, size=(h, w, 3))
     return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+# -- deterministic raw video container ("NVID1") -----------------------------
+# The sandbox has no ffmpeg, so (as with the QIM1 lossy image stand-in) the
+# CONTAINER is self-contained and deterministic while the Spark-side
+# plumbing that consumes it (operators/multimodal.frame_sample) is real: a
+# production deployment swaps these two functions for ffmpeg bindings
+# without touching plan shape, schema, or partitioning.
+#
+#   NVID1 := b"NVID1" | u16 n_frames | u16 w | u16 h | n·(w·h·3 raw RGB)
+
+VIDEO_MAGIC = b"NVID1"
+
+
+def encode_video(frames: "list[np.ndarray]") -> bytes:
+    import struct
+
+    h, w, _ = frames[0].shape
+    out = [VIDEO_MAGIC, struct.pack(">HHH", len(frames), w, h)]
+    for f in frames:
+        assert f.shape == (h, w, 3)
+        out.append(f.astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_video(data: bytes) -> "list[np.ndarray]":
+    import struct
+
+    if data[:5] != VIDEO_MAGIC:
+        raise NotImplementedError(
+            "unknown video container; real deployments plug ffmpeg here"
+        )
+    n, w, h = struct.unpack(">HHH", data[5:11])
+    frame_sz = w * h * 3
+    return [
+        np.frombuffer(data[11 + i * frame_sz : 11 + (i + 1) * frame_sz], np.uint8)
+        .reshape(h, w, 3)
+        .copy()
+        for i in range(n)
+    ]

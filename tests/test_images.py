@@ -55,3 +55,37 @@ def test_decode_dispatch():
     assert np.array_equal(img.decode_image(img.encode_png(px), "png"), px)
     with pytest.raises(NotImplementedError):
         img.decode_image(b"xxxx", "webp")
+
+
+class TestFrameSample:
+    def test_sampled_frames_roundtrip_exactly(self, spark):
+        import numpy as np
+
+        from govuk_crawler_worker_spark.operators.multimodal import frame_sample
+        from govuk_crawler_worker_spark.sources import images as img
+
+        rng = np.random.default_rng(11)
+        vids = {}
+        rows = []
+        for vid in ("v0", "v1"):
+            frames = [img.make_pixels(rng, 8, 6) for _ in range(7)]
+            vids[vid] = frames
+            rows.append((vid, img.encode_video(frames)))
+        df = spark.createDataFrame(rows, "video_id string, bytes binary")
+        out = frame_sample(df, every_n=3).collect()
+        # 7 frames sampled every 3 → indices 0, 3, 6 per video
+        got = {(r["video_id"], r["frame_idx"]) for r in out}
+        assert got == {(v, i) for v in vids for i in (0, 3, 6)}
+        for r in out:
+            px = img.decode_png(bytes(r["frame_bytes"]))
+            assert (px == vids[r["video_id"]][r["frame_idx"]]).all()
+            assert (r["w"], r["h"]) == (8, 6)
+
+    def test_unknown_container_raises(self, spark):
+        import pytest
+
+        from govuk_crawler_worker_spark.operators.multimodal import frame_sample
+
+        df = spark.createDataFrame([("v", b"RIFFxxxx")], "video_id string, bytes binary")
+        with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+            frame_sample(df).collect()
