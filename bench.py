@@ -1,8 +1,9 @@
 """Benchmark harness.
 
 Prints ONE JSON line:
-  metric  = frontier-drain throughput (URLs fetched+committed/sec) at
-            local[$SPARK_GRAFT_CPUS] on a pre-seeded synthetic frontier
+  value   = frontier-drain throughput (URLs fetched+committed/sec) at the
+            capability level local[$BENCH_CAP_CORES] (default 16 — the
+            host's physical cores) on a pre-seeded synthetic frontier
   queries = per-query wall seconds for the __spark_entry__ operator suite at
             $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
   scaling = the north-rule two-cluster-size evidence: the identical drain job
@@ -38,6 +39,10 @@ BULK_PAGES = int(os.environ.get("BENCH_BULK_PAGES", "150000"))
 BFS_PAGES = int(os.environ.get("BENCH_BFS_PAGES", "1500"))
 # equal reps at BOTH levels, interleaved (N, 4N, N, 4N, ...)
 REPS = int(os.environ.get("BENCH_REPS", "3"))
+# capability level: the full sandbox allocation, reported as the headline
+# `value` (the scaling PAIR stays 2→8 — see below)
+CAP_CORES = int(os.environ.get("BENCH_CAP_CORES", "16"))
+CAP_REPS = int(os.environ.get("BENCH_CAP_REPS", "2"))
 
 # Scaling comparison levels (N and 4N per the north rule).  This host has 16
 # physical cores exposed as 32 hyperthreads.  A level local[c] really runs
@@ -242,12 +247,15 @@ def main() -> None:
 
     # --- scaling: identical bulk job, interleaved equal reps at N and 4N ---
     world_dir = _prepare_bulk_world(BULK_PAGES)
-    times: dict[int, list[float]] = {SCALE_N: [], SCALE_4N: []}
+    times: dict[int, list[float]] = {SCALE_N: [], SCALE_4N: [], CAP_CORES: []}
     fetched_n = 0
     for _rep in range(REPS):
         for cores in (SCALE_N, SCALE_4N):
             fetched_n, sec = _run_bulk(cores, BULK_PAGES, world_dir)
             times[cores].append(round(sec, 2))
+    for _rep in range(CAP_REPS):
+        fetched_n, sec = _run_bulk(CAP_CORES, BULK_PAGES, world_dir)
+        times[CAP_CORES].append(round(sec, 2))
     shutil.rmtree(world_dir, ignore_errors=True)
 
     bfs_world = build_world(n_pages=BFS_PAGES, images_per_page=1, seed=42, branching=6)
@@ -267,13 +275,14 @@ def main() -> None:
 
     thr_n = fetched_n / min(times[SCALE_N])
     thr_4n = fetched_n / min(times[SCALE_4N])
+    thr_cap = fetched_n / min(times[CAP_CORES])
     eff = (thr_4n / thr_n) / 4.0
 
     print(
         json.dumps(
             {
                 "metric": "frontier-drain throughput (URLs fetched+committed/sec)",
-                "value": round(thr_4n, 1),
+                "value": round(thr_cap, 1),
                 "unit": "urls/sec",
                 "sf": sf_label,
                 "queries": qtimes,
@@ -283,6 +292,7 @@ def main() -> None:
                     "rep_secs": {str(c): times[c] for c in times},
                     f"local{SCALE_N}_urls_per_sec": round(thr_n, 1),
                     f"local{SCALE_4N}_urls_per_sec": round(thr_4n, 1),
+                    f"local{CAP_CORES}_urls_per_sec": round(thr_cap, 1),
                     f"scaling_efficiency_{SCALE_N}_to_{SCALE_4N}": round(eff, 3),
                 },
                 "drain_bfs": {
