@@ -98,3 +98,66 @@ class TestStatefulPolitenessAudit:
             ]
         finally:
             q.stop()
+
+
+class TestWatermarkedWindows:
+    """Event-time windows + watermark: a window finalizes (append-mode emit)
+    only when the watermark passes its end, and an event arriving LATER than
+    the watermark horizon is dropped instead of corrupting a closed window."""
+
+    def test_late_rows_dropped_and_windows_finalize(self, spark, tmp_path):
+        import json
+
+        from govuk_crawler_worker_spark.streaming.windows import (
+            windowed_event_counts,
+        )
+
+        src = tmp_path / "wm_events"
+        src.mkdir()
+
+        def write_file(name, rows):
+            tmp = src / (name + ".tmp")
+            with open(tmp, "w") as fh:
+                for ts, et, v in rows:
+                    fh.write(json.dumps({"ts": ts, "event_type": et, "value": v}) + "\n")
+            tmp.rename(src / name)
+
+        # batch 1: two events in window [0,10); t=16 advances the watermark
+        # to 11 → window [0,10) CLOSES (watermark semantics: a window is
+        # closed once watermark ≥ window end, i.e. end + horizon in event
+        # time has passed)
+        write_file("b1.json", [(2.0, "view", 1.0), (4.0, "view", 2.0), (16.0, "view", 4.0)])
+
+        events = (
+            spark.readStream.schema("ts double, event_type string, value double")
+            .json(str(src))
+            .selectExpr("timestamp_seconds(ts) AS ts", "event_type", "value")
+        )
+        q = (
+            windowed_event_counts(events, "10 seconds", "5 seconds")
+            .writeStream.format("memory")
+            .queryName("wm_counts")
+            .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # batch 2: t=3 arrives for the CLOSED [0,10) window → dropped;
+            # t=30 advances the watermark to 25 → [10,20) closes too
+            write_file("b2.json", [(3.0, "view", 100.0), (30.0, "view", 8.0)])
+            q.processAllAvailable()
+            # batch 3: flush (append-mode emits a closed window in the batch
+            # AFTER the watermark passes it)
+            write_file("b3.json", [(40.0, "view", 9.0)])
+            q.processAllAvailable()
+            got = {
+                (r["win_start"].second + r["win_start"].minute * 60, r["n"], r["sum_value"])
+                for r in spark.sql("SELECT * FROM wm_counts").collect()
+            }
+            # [0,10): the late t=3 row was dropped → n=2, sum=3.0 (not 103.0)
+            assert (0, 2, 3.0) in got, got
+            assert (0, 3, 103.0) not in got, got
+            assert (10, 1, 4.0) in got, got
+        finally:
+            q.stop()
