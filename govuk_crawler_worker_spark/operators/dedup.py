@@ -350,10 +350,23 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    lsh_planes: int = 0,
+    lsh_tables: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Cosine near-duplicates, label-blocked (IVF-style): the self-join is
     keyed by the block, never whole-corpus-quadratic.  Dot/norms via JVM
-    higher-order functions (zip_with + aggregate over double)."""
+    higher-order functions (zip_with + aggregate over double).
+
+    **Block skew** (one label holding a large share of the corpus makes that
+    block's self-join quadratic AND a single shuffle partition): set
+    ``lsh_planes > 0`` to sub-bucket every block with multi-table sign-LSH —
+    the join key becomes (block, table, bucket), so a hot block spreads over
+    ``lsh_tables × 2^lsh_planes`` shuffle keys and only near-colinear pairs
+    ever meet.  For true near-dups (cos ≥ 0.98 → θ ≤ 11.5°) a plane splits
+    a pair with prob θ/π ≈ 0.036, so 8 tables of 8 planes give per-pair
+    recall 1-(1-(1-θ/π)^8)^8 ≈ 1-1e-9 — effectively exact while sub-
+    quadratic.  Default 0 keeps the exact (DuckDB-oracled) semantics."""
     v = emb.select(
         F.col(id_col).alias("vid"),
         F.col(block_col).alias("block"),
@@ -362,20 +375,36 @@ def embedding_near_dups(
         "norm",
         F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
     )
-    pairs = v.alias("l").join(
-        v.alias("r"),
-        (F.col("l.block") == F.col("r.block")) & (F.col("l.vid") < F.col("r.vid")),
-    )
+    if lsh_planes > 0:
+        from govuk_crawler_worker_spark.operators.similarity import lsh_buckets_udf
+
+        buckets = lsh_buckets_udf(dim, lsh_planes, lsh_tables)
+        keyed = v.withColumn("bs", buckets("v")).select(
+            "vid", "block", "v", "norm", F.posexplode("bs").alias("tbl", "bucket")
+        )
+        pairs = keyed.alias("l").join(
+            keyed.alias("r"),
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
+    else:
+        pairs = v.alias("l").join(
+            v.alias("r"),
+            (F.col("l.block") == F.col("r.block")) & (F.col("l.vid") < F.col("r.vid")),
+        )
     dot = F.aggregate(
         F.zip_with(F.col("l.v"), F.col("r.v"), lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return (
-        pairs.select(
-            F.col("l.vid").alias("a"),
-            F.col("r.vid").alias("b"),
-            F.round(dot / (F.col("l.norm") * F.col("r.norm")), 4).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+    out = pairs.select(
+        F.col("l.vid").alias("a"),
+        F.col("r.vid").alias("b"),
+        F.round(dot / (F.col("l.norm") * F.col("r.norm")), 4).alias("cosine"),
     )
+    if lsh_planes > 0:
+        # a pair colliding in several tables appears once
+        out = out.dropDuplicates(["a", "b"])
+    return out.where(F.col("cosine") >= threshold)

@@ -181,3 +181,35 @@ class TestSimhashScale:
             for r in cand.where(F.col("b") >= n).collect()
         }
         assert all((i, n + i) in found for i in range(100))
+
+
+class TestEmbeddingSkewPath:
+    def test_lsh_subbucketing_finds_near_dups_subquadratically(self, spark):
+        """One giant block (the skew case): with in-block sign-LSH
+        sub-bucketing, planted near-identical twins (cos ≈ 1) must all be
+        found while the candidate join spreads over (table, bucket) keys."""
+        import numpy as np
+        import pandas as pd
+
+        from govuk_crawler_worker_spark.operators.dedup import embedding_near_dups
+
+        rng = np.random.default_rng(5)
+        n = 2000
+        base = rng.standard_normal((n, 64)).astype(np.float32)
+        rows = [("v%04d" % i, "hot", [float(x) for x in base[i]]) for i in range(n)]
+        # plant 50 near-identical twins of the first 50 vectors
+        for i in range(50):
+            twin = base[i] + rng.standard_normal(64).astype(np.float32) * 0.01
+            rows.append(("t%04d" % i, "hot", [float(x) for x in twin]))
+        emb = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "label", "embedding"]),
+            "vec_id string, label string, embedding array<float>",
+        )
+        out = embedding_near_dups(
+            emb, threshold=0.98, lsh_planes=8, lsh_tables=8
+        ).collect()
+        found = {(r["a"], r["b"]) for r in out}
+        for i in range(50):
+            assert ("t%04d" % i, "v%04d" % i) in found or ("v%04d" % i, "t%04d" % i) in found
+        # no junk pairs: random 64-dim vectors never reach cos 0.98
+        assert len(found) == 50, len(found)
