@@ -678,6 +678,21 @@ class DrainLoop:
         stats.duration_s = time.monotonic() - t0
         return stats
 
+    # -- maintenance ------------------------------------------------------------
+
+    def compact_seen(self) -> None:
+        """Physically reclaim TTL-expired seen rows (the Redis analogue is
+        automatic key eviction; here it is a periodic compaction commit —
+        per-batch merges deliberately leave expired rows in untouched
+        buckets so commit I/O stays delta-proportional).  Read results are
+        unchanged: every read already applies the generation filter."""
+        b = int(self.catalog.latest()["meta"].get("next_batch", 0))
+        keep = None
+        if self.ttl_batches is not None:
+            horizon = b - self.ttl_batches
+            keep = lambda df: F.col("updated_batch") >= F.lit(horizon)  # noqa: E731
+        self.catalog.compact("seen", seen_bucket_of, keep)
+
     # -- the loop ---------------------------------------------------------------
 
     def drain(self, max_batches: int = 1000, progress=None) -> list[BatchStats]:

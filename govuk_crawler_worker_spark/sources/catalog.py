@@ -170,6 +170,9 @@ class Catalog:
             delta, key = spec["delta"], spec["key"]
             bucket_of = spec["bucket_of"]
             deletes = spec.get("deletes")
+            if spec.get("_full"):
+                # full rewrite (compaction): only bucket ids matter
+                return delta.select(bucket_of(delta).cast("int").alias("_pb"))
             keyed = delta.select(
                 F.col(key).alias("_k"), bucket_of(delta).cast("int").alias("_pb")
             )
@@ -190,14 +193,17 @@ class Catalog:
             schema_json = json.dumps(delta.schema.jsonValue())
             if not touched:
                 return name, [], schema_json
-            keyed = merge_keyed(spec)
-            old = self.read_buckets(name, touched, schema=delta.schema)
-            kept = old.join(
-                keyed.select(F.col("_k").alias(key)).distinct().hint("broadcast"),
-                key,
-                "left_anti",
-            )
-            merged = kept.unionByName(delta)
+            if spec.get("_full"):
+                merged = delta  # compaction: delta IS the new full content
+            else:
+                keyed = merge_keyed(spec)
+                old = self.read_buckets(name, touched, schema=delta.schema)
+                kept = old.join(
+                    keyed.select(F.col("_k").alias(key)).distinct().hint("broadcast"),
+                    key,
+                    "left_anti",
+                )
+                merged = kept.unionByName(delta)
             rel = os.path.join("tables", name, f"snap-{n:08d}")
             (
                 merged.withColumn("_pb", bucket_of(merged).cast("int"))
@@ -236,6 +242,15 @@ class Catalog:
                 tagged = t if tagged is None else tagged.unionByName(t)
             for r in tagged.distinct().collect():
                 touched_by[r["_t"]].append(int(r["_pb"]))
+            for mname, spec in merge_work:
+                if spec.get("_full"):
+                    # a full rewrite also touches every EXISTING bucket (a
+                    # bucket whose rows were all dropped must lose its
+                    # pointer)
+                    existing = (prev.get("parts", {}).get(mname) or {}).keys()
+                    touched_by[mname] = sorted(
+                        set(touched_by[mname]) | {int(k) for k in existing}
+                    )
 
         def run(unit):
             kind, payload = unit
@@ -278,7 +293,9 @@ class Catalog:
             "tables": tables,
             "parts": parts,
             "schemas": schemas,
-            "meta": meta or {},
+            # meta carries forward when not explicitly replaced (a
+            # maintenance commit must not wipe checkpoint state)
+            "meta": meta if meta is not None else prev.get("meta", {}),
         }
         tmp = self._commit_path(n) + ".tmp"
         with open(tmp, "w") as fh:
@@ -287,6 +304,30 @@ class Catalog:
         return n
 
     # -- maintenance -----------------------------------------------------------
+
+    def compact(self, name: str, bucket_of, keep=None) -> int:
+        """Rewrite a merge table's buckets in one pass, optionally dropping
+        rows (``keep`` = a DataFrame→Column predicate) — the
+        rewrite_data_files + physical-TTL-cleanup maintenance job.
+
+        Per-batch merges keep dead rows (e.g. TTL-expired seen entries) in
+        untouched buckets because rewriting them every batch would defeat
+        delta-proportional commits; a periodic compaction reclaims them
+        without changing any read result (readers already filter expired
+        generations).  Runs as its own commit — atomic like any other."""
+        df = self.read(name)
+        if keep is not None:
+            df = df.where(keep(df))
+        return self.commit(
+            merges={
+                name: dict(
+                    delta=df,
+                    key=None,  # full rewrite: every bucket touched
+                    bucket_of=bucket_of,
+                    _full=True,
+                )
+            }
+        )
 
     def expire_snapshots(self, keep_last: int = 3) -> None:
         """Drop snapshot files unreachable from the last ``keep_last`` commits

@@ -254,3 +254,64 @@ class TestBucketedMerge:
         cat.expire_snapshots(keep_last=1)
         got = {r["k"]: r["v"] for r in cat.read("t").collect()}
         assert got[3] == "u3" and len(got) == 64
+
+
+class TestCompaction:
+    @staticmethod
+    def _bucket8(df):
+        return F.pmod(F.col("k"), F.lit(8))
+
+    def test_compact_drops_rows_and_empty_buckets_keeps_meta(self, spark):
+        import tempfile as tf
+
+        cat = Catalog(spark, tf.mkdtemp(prefix="catc_"))
+        base = spark.createDataFrame(
+            [(i, i % 3) for i in range(32)], "k long, gen long"
+        )
+        cat.commit(
+            merges={"t": dict(delta=base, key="k", bucket_of=self._bucket8)},
+            meta={"next_batch": 7},
+        )
+        # drop gen 0 rows (the "expired generation")
+        cat.compact("t", self._bucket8, keep=lambda df: F.col("gen") > 0)
+        got = {r["k"] for r in cat.read("t").collect()}
+        assert got == {i for i in range(32) if i % 3 != 0}
+        # checkpoint meta survived the maintenance commit
+        assert cat.latest()["meta"]["next_batch"] == 7
+
+    def test_compact_to_empty_drops_all_pointers(self, spark):
+        import tempfile as tf
+
+        cat = Catalog(spark, tf.mkdtemp(prefix="catc_"))
+        base = spark.createDataFrame([(1, 0), (9, 0)], "k long, gen long")
+        cat.commit(merges={"t": dict(delta=base, key="k", bucket_of=self._bucket8)})
+        cat.compact("t", self._bucket8, keep=lambda df: F.lit(False))
+        assert cat.latest()["parts"]["t"] == {}
+        assert cat.read("t", "k long, gen long").count() == 0
+
+
+class TestCrashAtomicity:
+    def test_orphan_snapshot_files_and_torn_manifest_ignored(self, spark):
+        """Crash mid-commit = snapshot files written but the manifest rename
+        never happened.  Readers and the next committer must see only the
+        last published manifest (B26/ProxyTCP-chaos analogue)."""
+        import json
+        import os
+        import tempfile as tf
+
+        root = tf.mkdtemp(prefix="catx_")
+        cat = Catalog(spark, root)
+        cat.commit(replaces={"t": spark.range(5).withColumnRenamed("id", "x")})
+
+        # simulate the torn commit: orphan snapshot dir + .tmp manifest
+        orphan = os.path.join(root, "tables", "t", "snap-99999999")
+        spark.range(999).withColumnRenamed("id", "x").write.parquet(orphan)
+        with open(os.path.join(root, "_commits", "00000001.json.tmp"), "w") as fh:
+            json.dump({"commit_id": 1, "tables": {"t": ["bogus"]}}, fh)
+
+        assert cat.latest()["commit_id"] == 0
+        assert cat.read("t").count() == 5
+        # next commit proceeds normally on top of the last GOOD manifest
+        cat.commit(appends={"log": spark.range(2).withColumnRenamed("id", "x")})
+        assert cat.latest()["commit_id"] == 1
+        assert cat.read("t").count() == 5
