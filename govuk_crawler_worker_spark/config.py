@@ -62,6 +62,21 @@ class CrawlConfig:
     # Shuffle sizing for the local harness; on a real cluster set via conf.
     shuffle_partitions: int = 32
 
+    def __post_init__(self):
+        # the reference panics on a non-positive thread count
+        # (workflow.go NewCrawlerWorkflow guard, workflow_test.go:235-245);
+        # our batch-engine analogues get the same fail-fast treatment
+        if self.claim_limit < 1:
+            raise ValueError("claim_limit must be >= 1 (the Qos/prefetch analogue)")
+        if self.host_salt_buckets < 1:
+            raise ValueError("host_salt_buckets must be >= 1")
+        if self.batch_period_s <= 0:
+            raise ValueError("batch_period_s must be > 0")
+        if self.max_crawl_retries < 0:
+            raise ValueError("max_crawl_retries must be >= 0")
+        if not self.root_urls:
+            raise ValueError("at least one root URL is required")
+
     @property
     def root_hosts_with_port(self) -> tuple[str, ...]:
         from govuk_crawler_worker_spark.functions.urlnorm import host_with_port

@@ -219,3 +219,21 @@ class TestCanonicalize:
 
     def test_empty_path_becomes_root(self):
         assert canonicalize("https://h") == "https://h/"
+
+
+class TestConfigValidation:
+    def test_invalid_config_fails_fast(self):
+        # the thread-count-panic analogue (workflow_test.go:235-245)
+        import pytest
+
+        from govuk_crawler_worker_spark.config import CrawlConfig
+
+        with pytest.raises(ValueError, match="claim_limit"):
+            CrawlConfig(claim_limit=0)
+        with pytest.raises(ValueError, match="host_salt_buckets"):
+            CrawlConfig(host_salt_buckets=0)
+        with pytest.raises(ValueError, match="batch_period_s"):
+            CrawlConfig(batch_period_s=0.0)
+        with pytest.raises(ValueError, match="root URL"):
+            CrawlConfig(root_urls=())
+        CrawlConfig()  # defaults valid
