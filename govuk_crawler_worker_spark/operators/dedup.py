@@ -22,6 +22,8 @@ filter (stop-shingles dropped), the textbook MinHash-at-scale mitigation.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -230,32 +232,47 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _simhash_batch(hs_list, chunk: int = 512) -> "np.ndarray":
+    """Vectorized 64-bit SimHash from per-doc token-hash arrays: unpack the
+    64 bit-planes and segment-sum votes with reduceat — no per-token Python.
+    Chunked over docs so the (tokens × 64) bit matrix stays a few MB."""
+    n = len(hs_list)
+    out = np.zeros(n, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for c0 in range(0, n, chunk):
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs_list[c0 : c0 + chunk]]
+        lens = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
+        nz = lens > 0
+        if not nz.any():
+            continue
+        cat = np.concatenate([a for a in arrs if len(a)]).astype(np.uint64)
+        bits = ((cat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+        ones = np.add.reduceat(bits, starts, axis=0)  # (docs, 64)
+        sign = (2 * ones - lens[nz][:, None] > 0).astype(np.uint64)
+        packed = (sign << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        res = np.zeros(len(arrs), dtype=np.int64)
+        res[nz] = packed.view(np.int64)
+        out[c0 : c0 + len(arrs)] = res
+    return out
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc, fully columnar: token → xxhash64; per bit,
-    +1/−1 vote summed across tokens; sign → bit."""
+    """64-bit SimHash per doc: token → xxhash64 (JVM-side), then the bit
+    votes for ALL 64 planes in ONE Arrow-vectorized pass (collect_list +
+    numpy reduceat) — replaces a 64-column sum aggregate that dominated the
+    signature cost.  Sign rule: votes > 0 → bit 1."""
     tokens = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
-    votes = tokens.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(64)
-        ]
-    )
-    bit_terms = [
-        F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).cast("long")
-        * F.lit(1 << i).cast("long")
-        if i < 63
-        else F.when(F.col(f"v{i}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0))
-        for i in range(64)
-    ]
-    acc = bit_terms[0]
-    for t in bit_terms[1:]:
-        acc = acc + t
-    return votes.select("doc_id", acc.alias("simhash"))
+    grouped = tokens.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+
+    @F.pandas_udf("long")
+    def sim(hs: pd.Series) -> pd.Series:
+        return pd.Series(_simhash_batch(list(hs)))
+
+    return grouped.select("doc_id", sim("hs").alias("simhash"))
 
 
 def _simhash_blocks(n_blocks: int) -> list[tuple[int, int]]:
