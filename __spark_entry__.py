@@ -8,13 +8,14 @@ payload rows).
 training-data-pipeline operators (dedup family, similarity search, text
 analysis), each runnable on the driver's parquet tables at any sf dir.
 
-``oracle_sql()``   — matching ANSI SQL for DuckDB cross-checks.  24 of 28
+``oracle_sql()``   — matching ANSI SQL for DuckDB cross-checks.  24 of 29
 queries are value-checked, including a FULL value oracle for MinHash-LSH
 (band parameters make recall provably 1.0 on this data, so LSH output equals
 the exhaustive shingle-jaccard pair set) and a driver-checked ANN recall
-floor.  The 4 rows-only entries (simhash pairs, raw ANN top-k, polynomial
-fingerprint, image features) are genuinely engine-hash-dependent or
-non-SQL-expressible; each carries a pytest pinning its semantics instead.
+floor.  The 5 rows-only entries (simhash pairs, raw LSH/IVF ANN top-k,
+polynomial fingerprint, image features) are genuinely engine-hash/quantizer-
+dependent or non-SQL-expressible; each carries a pytest pinning its
+semantics instead.
 """
 
 from __future__ import annotations
@@ -291,6 +292,16 @@ def _doc_fingerprints(spark, sf):
     return doc_fingerprints(_t(spark, sf, "documents"))
 
 
+def _ann_ivf_topk(spark, sf):
+    """IVF ANN (distributed k-means coarse quantizer + inverted-list probe);
+    rows-only by design — candidates depend on the seeded quantizer."""
+    from govuk_crawler_worker_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
+
+
 def _ann_recall_floor(spark, sf):
     """Property oracle for the ANN path: every query's top-5 recall vs the
     exact baseline must clear a floor (deterministic given data + seeded
@@ -371,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _embedding_near_dups,
         "cosine_topk": _cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "ann_recall_floor": _ann_recall_floor,
         "ttl_semantics": _ttl_semantics,
         "text_quality": _text_quality,

@@ -3,13 +3,18 @@
 * brute_force_topk — exact cosine top-k: the correctness baseline.  Query
   side is small → broadcast; dot products via JVM higher-order functions
   (zip_with/aggregate over double) so the scan side never leaves the JVM.
-* lsh_topk        — the scale path: sign-random-projection LSH buckets
-  (deterministic seeded hyperplanes) + within-bucket exact re-rank via a
-  vectorized pandas UDF (numpy matmul per Arrow batch).  At 100 TB the
-  bucket id is the shuffle key; multi-probe over neighboring buckets trades
-  recall for fan-out.
+* lsh_topk        — multi-table sign-random-projection LSH + within-bucket
+  exact re-rank (vectorized matmul per Arrow batch).  At 100 TB the
+  (table, bucket) id is the shuffle key.
+* ivf_topk        — the other classic scale path: a coarse quantizer
+  (distributed k-means, Lloyd iterations expressed as DataFrame ops — the
+  per-cluster mean is a posexplode + groupBy(cluster, pos) aggregate, so
+  only the k×dim centroid matrix ever reaches the driver) partitions the
+  corpus into inverted lists; queries probe the ``nprobe`` nearest lists
+  and re-rank exactly.  Recall/latency knob = nprobe/nlist.
 
-Determinism: similarity rounded to 4 dp; rank ties broken by neighbor id.
+Determinism: similarity rounded to 4 dp; rank ties broken by neighbor id;
+k-means init is seeded.
 """
 
 from __future__ import annotations
@@ -152,6 +157,125 @@ def lsh_topk(
             F.first(
                 F.round(dot / (F.col("qnorm") * F.col("norm")), 4)
             ).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "neighbor", "cosine")
+    )
+
+
+# -- IVF (inverted-file) ANN --------------------------------------------------
+
+
+def _assign_udf(centroids: np.ndarray):
+    """cluster id = argmax cosine against the (broadcast-by-closure, k×dim)
+    centroid matrix — one matmul per Arrow batch."""
+    norm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ norm.T).argmax(axis=1).astype(np.int32))
+
+    return assign
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd k-means over an embedding column.
+
+    Assignment = vectorized matmul UDF; update = per-cluster per-dimension
+    mean via ``posexplode + groupBy(cluster, pos).avg`` — a plain shuffled
+    aggregate, so the only driver-side data is the k×dim centroid matrix
+    (collect of k·dim rows).  Empty clusters keep their previous centroid.
+    Seeded random-normal init → deterministic."""
+    v = emb.select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    centroids = np.random.default_rng(seed).standard_normal((k, dim))
+    for _ in range(iters):
+        assign = _assign_udf(centroids)
+        means = (
+            v.withColumn("c", assign("v"))
+            .select("c", F.posexplode("v").alias("pos", "val"))
+            .groupBy("c", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        nxt = centroids.copy()
+        seen = set()
+        for r in means:
+            nxt[r["c"], r["pos"]] = r["m"]
+            seen.add(r["c"])
+        centroids = nxt
+    return centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: corpus sharded into ``nlist`` inverted lists by the coarse
+    quantizer; each query probes its ``nprobe`` nearest lists and re-ranks
+    exactly (JVM zip_with/aggregate).  Shuffle key = list id; candidate
+    volume ≈ corpus × nprobe / nlist per query."""
+    if centroids is None:
+        centroids = kmeans_fit(emb, k=nlist, iters=iters, dim=dim, vec_col=vec_col)
+    assign = _assign_udf(centroids)
+    corpus = _with_norm(emb, id_col, vec_col).withColumn("list_id", assign("v"))
+
+    cnorm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf("array<int>")
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ cnorm.T), axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q = (
+        _with_norm(queries, id_col, vec_col)
+        .withColumn("probes", probe_lists("v"))
+        .select(
+            F.col("vid").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.explode("probes").alias("list_id"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(corpus, "list_id")
+        .where(F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            F.col("vid").alias("neighbor"),
+            F.round(dot / (F.col("qnorm") * F.col("norm")), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor").asc())

@@ -213,3 +213,27 @@ class TestEmbeddingSkewPath:
             assert ("t%04d" % i, "v%04d" % i) in found or ("v%04d" % i, "t%04d" % i) in found
         # no junk pairs: random 64-dim vectors never reach cos 0.98
         assert len(found) == 50, len(found)
+
+
+class TestIVF:
+    def test_ivf_recall_and_list_sharding(self, spark):
+        from pyspark.sql import functions as F
+
+        from govuk_crawler_worker_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        q = emb.where(F.col("vec_id") % 100 == 0)
+        exact = {(r["qid"], r["neighbor"]) for r in brute_force_topk(emb, q, k=5).collect()}
+        ann = {(r["qid"], r["neighbor"]) for r in ivf_topk(emb, q, k=5, nlist=16, nprobe=4).collect()}
+        qids = {a for a, _ in exact}
+        recalls = [
+            len({n for a, n in exact if a == qid} & {n for a, n in ann if a == qid}) / 5
+            for qid in qids
+        ]
+        assert sum(recalls) / len(recalls) >= 0.5, recalls
+        # probing ALL lists must be exact (the nprobe=nlist sanity bound)
+        full = {(r["qid"], r["neighbor"]) for r in ivf_topk(emb, q, k=5, nlist=8, nprobe=8).collect()}
+        assert full == exact
