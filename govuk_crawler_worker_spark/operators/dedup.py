@@ -6,18 +6,24 @@ anti-join + per-page unique, workflow.go:273-291, crawler_message_item.go:
 DataFrame compositions (JVM-side, whole-stage codegen) except where noted:
 
 * exact_dedup           — hash-groupBy on md5(text)
-* jaccard_word_pairs    — blocked exact Jaccard via shingle equi-join
-* minhash_lsh_pairs     — MinHash (32 perms) + banded LSH candidate join,
-                          verified with exact Jaccard (no false positives)
-* simhash_pairs         — 64-bit SimHash + pigeonhole banding on 16-bit
-                          chunks, Hamming-distance verify
+* jaccard_word_pairs    — blocked exact Jaccard via hashed-key equi-join,
+                          hot-word document-frequency cap
+* minhash_lsh_pairs     — MinHash (32 perms) + banded LSH candidate join
+                          (default 16 bands × 2 rows), verified with exact
+                          Jaccard (no false positives; at the test data's
+                          jaccard floor recall is provably ~1 → full oracle)
+* simhash_pairs         — 64-bit SimHash (vectorized bit-plane votes) +
+                          Manku-style (B=6, keep=3) combo banding — ~32-bit
+                          keys, sub-quadratic past 65k docs — then exact
+                          Hamming verify
 * embedding_near_dups   — cosine near-dup over array<float> embeddings,
-                          label-blocked (IVF-style)
+                          label-blocked (IVF-style), optional in-block
+                          sign-LSH sub-bucketing for hot-block skew
 
 Scale notes: every pairwise op is **blocked** (source block / LSH band /
-label) so the join never goes quadratic in the corpus; the shuffle key is
-the block. Skewed blocks (hot shingles) are capped via a document-frequency
-filter (stop-shingles dropped), the textbook MinHash-at-scale mitigation.
+label / combo key) so the join never goes quadratic in the corpus; the
+shuffle key is the block.  Skewed blocks (hot shingles/words) are capped via
+document-frequency filters, the textbook MinHash-at-scale mitigation.
 """
 
 from __future__ import annotations
