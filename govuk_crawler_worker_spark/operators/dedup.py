@@ -145,7 +145,7 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = 
 
 
 def minhash_signatures(sh: DataFrame, num_perm: int = 32) -> DataFrame:
-    """32 MinHash values per doc in ONE aggregation pass: perm_j(s) =
+    """num_perm MinHash values per doc in ONE aggregation pass: perm_j(s) =
     xxhash64(j || s) (JVM xxhash64, vectorized), signature_j = min over
     shingles.  No Python in the loop."""
     aggs = [
@@ -153,6 +153,65 @@ def minhash_signatures(sh: DataFrame, num_perm: int = 32) -> DataFrame:
         for j in range(num_perm)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _splitmix_perms(h: "np.ndarray", num_perm: int) -> "np.ndarray":
+    """(T, num_perm) permutation hashes from one base hash per shingle —
+    splitmix64 finalizer over h + j·GOLDEN (a standard universal family;
+    the same mixer the bloom probes use)."""
+    j = np.arange(1, num_perm + 1, dtype=np.uint64)
+    z = h[:, None] + j[None, :] * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def minhash_band_keys(
+    sh: DataFrame, num_perm: int, bands: int, chunk: int = 1024
+) -> DataFrame:
+    """(doc_id, band, bh) LSH band keys computed in ONE Arrow pass:
+    collect_list(xxhash64(shingle)) per doc, then numpy — permutation
+    hashes via splitmix remix, per-band minima via minimum.reduceat over
+    the concatenated token stream, band key = mix of the band's row minima.
+    Replaces a num_perm-column min-aggregate + band concat/hash chain."""
+    rows_per_band = num_perm // bands
+    grouped = (
+        sh.withColumn("h", F.xxhash64("shingle"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("h").alias("hs"))
+    )
+
+    def keys_batch(hs_list) -> "np.ndarray":
+        n = len(hs_list)
+        out = np.zeros((n, bands), dtype=np.int64)
+        for c0 in range(0, n, chunk):
+            arrs = [np.asarray(a, dtype=np.int64) for a in hs_list[c0 : c0 + chunk]]
+            lens = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
+            nz = lens > 0
+            if not nz.any():
+                continue
+            cat = np.concatenate([a for a in arrs if len(a)]).astype(np.uint64)
+            perms = _splitmix_perms(cat, num_perm)  # (T, P)
+            starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+            mins = np.minimum.reduceat(perms, starts, axis=0)  # (docs, P)
+            byband = mins.reshape(len(starts), bands, rows_per_band)
+            # band key: mix the band's row-minima into one 64-bit key
+            key = byband[:, :, 0]
+            for r in range(1, rows_per_band):
+                key = (key ^ byband[:, :, r]) * np.uint64(0xBF58476D1CE4E5B9)
+                key ^= key >> np.uint64(29)
+            res = np.zeros((len(arrs), bands), dtype=np.int64)
+            res[nz] = key.view(np.int64)
+            out[c0 : c0 + len(arrs)] = res
+        return out
+
+    @F.pandas_udf("array<long>")
+    def band_arr(hs: pd.Series) -> pd.Series:
+        return pd.Series(list(keys_batch(list(hs))))
+
+    return grouped.select(
+        "doc_id", F.posexplode(band_arr("hs")).alias("band", "bh")
+    )
 
 
 def minhash_lsh_pairs(
@@ -181,25 +240,9 @@ def minhash_lsh_pairs(
         .select("shingle")
     )
     sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sig = minhash_signatures(sh, num_perm)
-
-    # one scan emits every band key (explode beats a bands-way union: the
-    # signature aggregation runs once, not `bands` times)
-    band_keys = [
-        F.xxhash64(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{bidx * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
-        )
-        for bidx in range(bands)
-    ]
-    band_rows = sig.select(
-        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "bh")
-    )
+    # band keys for all docs in one Arrow-vectorized pass (see
+    # minhash_band_keys — replaces the num_perm-column min-aggregate)
+    band_rows = minhash_band_keys(sh, num_perm, bands)
 
     cand = (
         band_rows.alias("l")
