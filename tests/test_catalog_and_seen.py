@@ -315,3 +315,79 @@ class TestCrashAtomicity:
         cat.commit(appends={"log": spark.range(2).withColumnRenamed("id", "x")})
         assert cat.latest()["commit_id"] == 1
         assert cat.read("t").count() == 5
+
+
+class TestBloomLifecycle:
+    """Segmented-bloom maintenance: watermark fold while within capacity,
+    full rebuild (with larger sizing) once the seen set outgrows it."""
+
+    def _loop(self, spark, tmpdir):
+        from govuk_crawler_worker_spark.config import CrawlConfig
+        from govuk_crawler_worker_spark.plans.pipeline import (
+            DrainLoop,
+            seen_bucket_of,
+        )
+
+        cat = Catalog(spark, tmpdir)
+        cfg = CrawlConfig()
+        loop = DrainLoop(
+            spark, cat, cfg, content=spark.createDataFrame([], S.CONTENT_SCHEMA),
+            payload=spark.createDataFrame([], S.PAYLOAD_SCHEMA),
+        )
+        return cat, loop, seen_bucket_of
+
+    def _seen_rows(self, spark, n, batch):
+        return spark.range(n).selectExpr(
+            "xxhash64(cast(id as string)) AS url_hash",
+            "cast(id as string) AS url_canon",
+            "1 AS state",
+            f"cast({batch} as long) AS updated_batch",
+        )
+
+    def test_fold_then_rebuild_on_overflow(self, spark):
+        import tempfile as tf
+
+        cat, loop, bucket_of = self._loop(spark, tf.mkdtemp(prefix="bloomlc_"))
+        seen0 = self._seen_rows(spark, 200, 0)
+        cat.commit(
+            merges={"seen": dict(delta=seen0, key="url_canon", bucket_of=bucket_of)},
+            meta={"next_batch": 1, "seen_size": 200},
+        )
+        seen_raw = cat.read("seen", S.SEEN_SCHEMA)
+
+        # first call: no bloom meta → build, wm = b
+        view1, rows1, meta1 = loop._bloom_for_batch(1, cat.latest()["meta"], seen_raw)
+        assert meta1["wm"] == 1 and meta1["capacity"] >= 200 * 8
+        cat.commit(
+            merges={"bloom": dict(delta=rows1, key="segment", bucket_of=lambda df: F.col("segment"))},
+            meta={**cat.latest()["meta"], "bloom": meta1},
+        )
+
+        # second call, within capacity: FOLD path (same sizing, wm advances)
+        view2, rows2, meta2 = loop._bloom_for_batch(5, cat.latest()["meta"], seen_raw)
+        assert meta2["n_bits"] == meta1["n_bits"] and meta2["wm"] == 5
+        assert meta2["capacity"] == meta1["capacity"]
+
+        # grow seen past capacity → REBUILD with larger sizing
+        big = self._seen_rows(spark, 40_000, 6)
+        cat.commit(
+            merges={"seen": dict(delta=big, key="url_canon", bucket_of=bucket_of)},
+            meta={**cat.latest()["meta"], "seen_size": 40_000},
+        )
+        seen_raw2 = cat.read("seen", S.SEEN_SCHEMA)
+        view3, rows3, meta3 = loop._bloom_for_batch(7, cat.latest()["meta"], seen_raw2)
+        assert meta3["capacity"] >= 40_000 * 8
+        assert meta3["n_bits"] > meta1["n_bits"]
+        # the rebuilt filter must cover the whole seen set (no false negatives)
+        from govuk_crawler_worker_spark.operators.seen import bloom_probe_join
+        from govuk_crawler_worker_spark.plans.pipeline import BLOOM_SEGMENTS
+
+        probed = bloom_probe_join(
+            seen_raw2.select("url_hash", "url_canon"),
+            view3,
+            "url_hash",
+            BLOOM_SEGMENTS,
+            meta3["n_bits"],
+            meta3["k"],
+        )
+        assert probed.where(~F.col("maybe_seen")).count() == 0
