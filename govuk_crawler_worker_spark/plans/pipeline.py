@@ -469,9 +469,18 @@ class DrainLoop:
                 "rel_path",
                 "image_id",
             )
-            .join(self.payload, "image_id", "left")
-            .select([f.name for f in S.FETCHED_SCHEMA.fields])
         )
+        if self.payload is not None:
+            fetched_new = fetched_new.join(self.payload, "image_id", "left")
+        else:
+            # pure-HTTP deployment: no payload lookup table — the schema's
+            # payload columns ride as nulls
+            for f in S.FETCHED_SCHEMA.fields:
+                if f.name not in fetched_new.columns:
+                    fetched_new = fetched_new.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+        fetched_new = fetched_new.select([f.name for f in S.FETCHED_SCHEMA.fields])
         if self.mirror_root:
             from govuk_crawler_worker_spark.plans.mirror import make_payload_writer
 
