@@ -8,7 +8,7 @@ payload rows).
 training-data-pipeline operators (dedup family, similarity search, text
 analysis), each runnable on the driver's parquet tables at any sf dir.
 
-``oracle_sql()``   — matching ANSI SQL for DuckDB cross-checks.  24 of 29
+``oracle_sql()``   — matching ANSI SQL for DuckDB cross-checks.  26 of 31
 queries are value-checked, including a FULL value oracle for MinHash-LSH
 (band parameters make recall provably 1.0 on this data, so LSH output equals
 the exhaustive shingle-jaccard pair set) and a driver-checked ANN recall
@@ -347,6 +347,22 @@ def _ttl_semantics(spark, sf):
     return seen_ttl(seen, keys, batch_id=40, ttl_batches=20)
 
 
+def _sessionize(spark, sf):
+    """Gap-based sessionization (lag + cumulative-sum window construction)
+    over the events stream — classic session windows, fully SQL-oracled."""
+    from govuk_crawler_worker_spark.operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf, "events"), gap_s=1800)
+
+
+def _curate_corpus(spark, sf):
+    """Composed training-data curation: quality gates + language gate +
+    exact dedup keep-first — the first mile of a corpus pipeline."""
+    from govuk_crawler_worker_spark.operators.text import curate_corpus
+
+    return curate_corpus(_t(spark, sf, "documents"), min_words=20, max_punct_ratio=0.2)
+
+
 def _image_features(spark, sf):
     # multimodal plumbing over a deterministic generated payload (the driver
     # tables carry no binary column); rows-only check by design
@@ -389,6 +405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _token_counts,
         "language_id": _language_id,
         "doc_fingerprints": _doc_fingerprints,
+        "sessionize": _sessionize,
+        "curate_corpus": _curate_corpus,
         "image_features": _image_features,
     }
 
@@ -567,6 +585,45 @@ def oracle_sql() -> dict[str, str]:
                              ELSE s.updated_batch + 20 - 40 END AS BIGINT)
                      AS ttl_batches
             FROM keys k LEFT JOIN seen s USING (url_canon)
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts)
+                          > 1800 * 1000000 THEN 1 ELSE 0 END AS ns
+              FROM events
+            ),
+            s AS (
+              SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM g
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+            FROM s GROUP BY 1, 2
+        """,
+        "curate_corpus": """
+            WITH feats AS (
+              SELECT doc_id, text,
+                     len(string_split(text, ' ')) AS n_words,
+                     round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+                           AS DOUBLE) / length(text), 4) AS punct_ratio,
+                     len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','and','of','to','in','is','for','on','with'))) AS en_hits,
+                     len(list_filter(string_split(text, ' '),
+                         x -> x IN ('le','la','et','de','un','une','est','pour','dans','avec'))) AS fr_hits
+              FROM documents
+            ),
+            kept AS (
+              SELECT doc_id, text FROM feats
+              WHERE n_words >= 20 AND punct_ratio <= 0.2 AND en_hits >= fr_hits
+            )
+            SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
+                   count(*) AS dup_count
+            FROM kept GROUP BY md5(text)
         """,
         "cosine_topk": """
             SELECT qid, rank, neighbor, cosine FROM (

@@ -180,3 +180,36 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         return pd.Series(fingerprint_batch(texts))
 
     return docs.select(F.col(id_col).alias("doc_id"), fp(F.col(text_col)).alias("fingerprint"))
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_punct_ratio: float = 0.2,
+    lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed training-data curation pass: quality gates → language
+    gate → exact dedup (keep lowest id per content hash) — one declarative
+    plan (filters push into the scan; the dedup is one hash groupBy), the
+    standard first mile of a corpus pipeline at 100 TB."""
+    q = quality_features(docs, text_col=text_col, id_col=id_col)
+    l = language_id(docs, text_col=text_col, id_col=id_col).select(
+        "doc_id", "lang_pred"
+    )
+    kept = (
+        docs.select(F.col(id_col).alias("doc_id"), text_col)
+        .join(q, "doc_id")
+        .join(l, "doc_id")
+        .where(
+            (F.col("n_words") >= min_words)
+            & (F.col("punct_ratio") <= max_punct_ratio)
+            & (F.col("lang_pred") == lang)
+        )
+    )
+    return (
+        kept.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("doc_id", "text_md5", "dup_count")
+    )
