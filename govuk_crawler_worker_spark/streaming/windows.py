@@ -48,3 +48,28 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "10 seconds",
+    late_horizon: str = "5 seconds",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming session windows — the state-store form of
+    ``operators/sessions.sessionize``: `F.session_window` merges events into
+    per-key sessions that CLOSE after ``gap`` of inactivity (sessions can
+    merge across micro-batches in the state store), finalized once the
+    watermark passes session end + gap."""
+    return (
+        events.withWatermark(ts_col, late_horizon)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )

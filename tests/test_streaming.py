@@ -161,3 +161,60 @@ class TestWatermarkedWindows:
             assert (10, 1, 4.0) in got, got
         finally:
             q.stop()
+
+
+class TestStreamingSessionWindows:
+    """F.session_window: events within the gap MERGE into one session —
+    including across micro-batches via the state store — and a session
+    finalizes (append emit) once the watermark passes its end."""
+
+    def test_sessions_merge_across_batches(self, spark, tmp_path):
+        import json
+
+        from govuk_crawler_worker_spark.streaming.windows import (
+            session_window_counts,
+        )
+
+        src = tmp_path / "sess_events"
+        src.mkdir()
+
+        def write_file(name, rows):
+            tmp = src / (name + ".tmp")
+            with open(tmp, "w") as fh:
+                for ts, uid in rows:
+                    fh.write(json.dumps({"ts": ts, "user_id": uid}) + "\n")
+            tmp.rename(src / name)
+
+        # batch 1: u1 events at t=0 and t=5 (within the 10s gap → one session)
+        write_file("b1.json", [(0.0, 1), (5.0, 1)])
+        events = (
+            spark.readStream.schema("ts double, user_id long")
+            .json(str(src))
+            .selectExpr("timestamp_seconds(ts) AS ts", "user_id")
+        )
+        q = (
+            session_window_counts(events, "10 seconds", "5 seconds")
+            .writeStream.format("memory")
+            .queryName("sessions")
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # batch 2: t=12 EXTENDS the same session (within gap of t=5's
+            # session end 15) — a cross-batch state-store merge — and t=60
+            # advances the watermark past the merged session's close
+            write_file("b2.json", [(12.0, 1), (60.0, 1)])
+            q.processAllAvailable()
+            write_file("b3.json", [(100.0, 2)])  # flush batch
+            q.processAllAvailable()
+            got = [
+                (r["user_id"], r["n_events"], r["session_start"].second + 60 * r["session_start"].minute,
+                 r["session_end"].second + 60 * r["session_end"].minute)
+                for r in spark.sql("SELECT * FROM sessions ORDER BY session_start").collect()
+            ]
+            # one merged session: events at 0, 5, 12 → [0, 22), 3 events
+            assert (1, 3, 0, 22) in got, got
+        finally:
+            q.stop()
