@@ -39,16 +39,27 @@ class StreamingDrain:
         from govuk_crawler_worker_spark.plans import schemas as S
 
         catalog = self.loop.catalog
-        b = int(catalog.latest()["meta"].get("next_batch", 0))
-        frontier = catalog.read("frontier", S.FRONTIER_SCHEMA)
-        n, min_nb = frontier.agg(
-            F.count(F.lit(1)), F.min("not_before_batch")
-        ).collect()[0]
+        meta = catalog.latest()["meta"]
+        b = int(meta.get("next_batch", 0))
+        n = meta.get("frontier_size")
+        if n is None:  # legacy/foreign catalog: count once
+            n = catalog.read("frontier", S.FRONTIER_SCHEMA).count()
+        n = int(n)
         if n == 0:
             return
-        if min_nb is not None and min_nb > b:
-            b = int(min_nb)
-        stats = self.loop.run_batch(b, eligible_hint=int(n))
+        stats = self.loop.run_batch(b, eligible_hint=n)
+        if stats.claimed == 0:
+            # everything backed off: jump the clock like DrainLoop._drain
+            min_nb = (
+                catalog.read("frontier", S.FRONTIER_SCHEMA)
+                .agg(F.min("not_before_batch"))
+                .collect()[0][0]
+            )
+            if min_nb is not None and int(min_nb) > b + 1:
+                # fast-forward the checkpoint clock in the catalog meta
+                new_meta = dict(catalog.latest()["meta"])
+                new_meta["next_batch"] = int(min_nb)
+                catalog.commit(meta=new_meta)
         # advance the checkpoint clock even if run_batch committed b: the
         # commit inside run_batch already wrote next_batch = b+1 atomically.
         self.batches_run.append(stats.batch_id)
