@@ -48,11 +48,17 @@ CAP_REPS = int(os.environ.get("BENCH_CAP_REPS", "2"))
 # physical cores exposed as 32 hyperthreads.  A level local[c] really runs
 # ~2c busy contexts during UDF stages (c JVM threads + c Python workers), so
 # 2→8 is the largest pair where BOTH levels stay on dedicated physical cores
-# (8→32 would measure hyperthreading, not the engine; at 4→16 the big level
-# saturates the machine while the small one borrows free cores — both bias
-# the ratio down).  Override with BENCH_SCALE_N.
+# — it is the pair that measures the ENGINE.  A second 8→32 pair is also
+# reported for completeness: its big level oversubscribes the 16 physical
+# cores ~4× (32 JVM + 32 Python worker contexts), so its ceiling is the
+# hyperthreading yield (~0.76-0.83 on pure-CPU kernels on this host), NOT
+# 1.0 — read it against that ceiling.  Override with BENCH_SCALE_N /
+# BENCH_SCALE2_N.
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
 SCALE_4N = SCALE_N * 4
+SCALE2_N = int(os.environ.get("BENCH_SCALE2_N", "8"))
+SCALE2_4N = SCALE2_N * 4
+REPS2 = int(os.environ.get("BENCH_REPS2", "2"))
 
 
 def make_spark(cores: int, aqe: bool = True):
@@ -245,17 +251,31 @@ def main() -> None:
 
     sf_label = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    # --- scaling: identical bulk job, interleaved equal reps at N and 4N ---
+    # --- scaling: identical bulk job, interleaved equal reps per level ------
+    # times is keyed by core count via setdefault, and each DISTINCT level
+    # runs once per interleaved round — so overlapping roles (e.g. SCALE_4N
+    # == SCALE2_N with the defaults, or BENCH_SCALE_N=4 making SCALE_4N ==
+    # CAP_CORES) share reps instead of colliding keys / mixing populations.
     world_dir = _prepare_bulk_world(BULK_PAGES)
-    times: dict[int, list[float]] = {SCALE_N: [], SCALE_4N: [], CAP_CORES: []}
+    times: dict[int, list[float]] = {}
     fetched_n = 0
-    for _rep in range(REPS):
-        for cores in (SCALE_N, SCALE_4N):
-            fetched_n, sec = _run_bulk(cores, BULK_PAGES, world_dir)
-            times[cores].append(round(sec, 2))
-    for _rep in range(CAP_REPS):
-        fetched_n, sec = _run_bulk(CAP_CORES, BULK_PAGES, world_dir)
-        times[CAP_CORES].append(round(sec, 2))
+
+    def _rep_at(cores: int) -> None:
+        nonlocal fetched_n
+        fetched_n, sec = _run_bulk(cores, BULK_PAGES, world_dir)
+        times.setdefault(cores, []).append(round(sec, 2))
+
+    pair1 = [SCALE_N, SCALE_4N]
+    pair2 = [SCALE2_N, SCALE2_4N] if REPS2 > 0 else []
+    for rep in range(REPS):
+        for cores in dict.fromkeys(pair1 + (pair2 if rep < REPS2 else [])):
+            _rep_at(cores)
+    # top up any pair2 level that interleaving under-served (REPS2 > REPS)
+    for cores in pair2:
+        while len(times.get(cores, [])) < REPS2:
+            _rep_at(cores)
+    while len(times.get(CAP_CORES, [])) < CAP_REPS:
+        _rep_at(CAP_CORES)
     shutil.rmtree(world_dir, ignore_errors=True)
 
     bfs_world = build_world(n_pages=BFS_PAGES, images_per_page=1, seed=42, branching=6)
@@ -277,6 +297,22 @@ def main() -> None:
     thr_4n = fetched_n / min(times[SCALE_4N])
     thr_cap = fetched_n / min(times[CAP_CORES])
     eff = (thr_4n / thr_n) / 4.0
+    scaling2 = {}
+    if pair2:
+        thr2_n = fetched_n / min(times[SCALE2_N])
+        thr2_4n = fetched_n / min(times[SCALE2_4N])
+        scaling2 = {
+            f"local{SCALE2_N}_urls_per_sec": round(thr2_n, 1),
+            f"local{SCALE2_4N}_urls_per_sec": round(thr2_4n, 1),
+            f"scaling_efficiency_{SCALE2_N}_to_{SCALE2_4N}": round(
+                (thr2_4n / thr2_n) / 4.0, 3
+            ),
+            # 32 workers on 16 physical cores: the upper pair's ceiling is
+            # the hyperthreading yield (~0.76-0.83 pure-CPU on this host),
+            # not 1.0 — see BENCH/BASELINE.md
+            f"note_{SCALE2_N}_to_{SCALE2_4N}": "upper level oversubscribes "
+            "16 physical cores (HT ceiling ~0.76-0.83), read against that",
+        }
 
     print(
         json.dumps(

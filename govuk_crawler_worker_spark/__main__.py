@@ -83,13 +83,17 @@ def main(env=None, spark=None, opener=None, progress=None):
             lambda: healthcheck(catalog), port=int(e.get("HEALTHCHECK_PORT", "0"))
         )
 
-    stats = loop.drain(
-        max_batches=int(e.get("MAX_BATCHES", "1000000")), progress=progress
-    )
-    if own_session:
-        if server is not None:
-            server.close()
-        spark.stop()
+    # a failing drain must not leak the owned session or leave the health
+    # endpoint serving a stale catalog from a daemon thread
+    try:
+        stats = loop.drain(
+            max_batches=int(e.get("MAX_BATCHES", "1000000")), progress=progress
+        )
+    finally:
+        if own_session:
+            if server is not None:
+                server.close()
+            spark.stop()
     return catalog, stats, server
 
 

@@ -166,20 +166,27 @@ def _splitmix_perms(h: "np.ndarray", num_perm: int) -> "np.ndarray":
     return z ^ (z >> np.uint64(31))
 
 
-def minhash_band_keys(
-    sh: DataFrame, num_perm: int, bands: int, chunk: int = 1024
-) -> DataFrame:
-    """(doc_id, band, bh) LSH band keys computed in ONE Arrow pass:
-    collect_list(xxhash64(shingle)) per doc, then numpy — permutation
-    hashes via splitmix remix, per-band minima via minimum.reduceat over
-    the concatenated token stream, band key = mix of the band's row minima.
-    Replaces a num_perm-column min-aggregate + band concat/hash chain."""
-    rows_per_band = num_perm // bands
-    grouped = (
+def shingle_hash_sets(sh: DataFrame) -> DataFrame:
+    """(doc_id, hs: array<long>) — each doc's distinct-shingle xxhash64 set
+    in one aggregation.  Shared by band-key generation AND exact verify (the
+    verify works on hashes: a 64-bit collision inside one pair's ~10²-10³
+    shingles is ~1e-15 — far below every other error source)."""
+    return (
         sh.withColumn("h", F.xxhash64("shingle"))
         .groupBy("doc_id")
         .agg(F.collect_list("h").alias("hs"))
     )
+
+
+def band_keys_from_grouped(
+    grouped: DataFrame, num_perm: int, bands: int, chunk: int = 1024
+) -> DataFrame:
+    """(doc_id, band, bh) LSH band keys computed in ONE Arrow pass over the
+    pre-grouped shingle-hash sets: permutation hashes via splitmix remix,
+    per-band minima via minimum.reduceat over the concatenated token stream,
+    band key = mix of the band's row minima.  Replaces a num_perm-column
+    min-aggregate + band concat/hash chain."""
+    rows_per_band = num_perm // bands
 
     def keys_batch(hs_list) -> "np.ndarray":
         n = len(hs_list)
@@ -214,6 +221,13 @@ def minhash_band_keys(
     )
 
 
+def minhash_band_keys(
+    sh: DataFrame, num_perm: int, bands: int, chunk: int = 1024
+) -> DataFrame:
+    """(doc_id, band, bh) band keys straight from (doc_id, shingle) rows."""
+    return band_keys_from_grouped(shingle_hash_sets(sh), num_perm, bands, chunk)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_perm: int = 32,
@@ -240,9 +254,15 @@ def minhash_lsh_pairs(
         .select("shingle")
     )
     sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    # band keys for all docs in one Arrow-vectorized pass (see
-    # minhash_band_keys — replaces the num_perm-column min-aggregate)
-    band_rows = minhash_band_keys(sh, num_perm, bands)
+    # The per-doc shingle-hash set is aggregated ONCE and reused by both the
+    # band-key pass and the exact verify (persist: doc-count rows, a few MB
+    # per million docs per partition — nothing like the raw shingle rows).
+    # Verifying against these sets replaces the two shingle-row-level joins
+    # (cand ⋈ sh ⋈ sh + re-aggregate) that dominated the r2 wall time: the
+    # candidate pair list is LSH-bounded, so a vectorized per-pair
+    # intersection over the pre-grouped sets is strictly less work.
+    grouped = shingle_hash_sets(sh).persist()
+    band_rows = band_keys_from_grouped(grouped, num_perm, bands)
 
     cand = (
         band_rows.alias("l")
@@ -256,23 +276,23 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verify: Jaccard over shingle sets of candidate pairs only
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sh_a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (
-        cand.join(sh_a, "a")
-        .join(sh_b, ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # exact verify: Jaccard over the hashed shingle sets of candidate pairs
+    @F.pandas_udf("double")
+    def jacc(ha: pd.Series, hb: pd.Series) -> pd.Series:
+        out = np.empty(len(ha))
+        for i, (x, y) in enumerate(zip(ha, hb)):
+            xa = np.asarray(x, dtype=np.int64)
+            ya = np.asarray(y, dtype=np.int64)
+            inter = np.intersect1d(xa, ya).size
+            union = xa.size + ya.size - inter
+            out[i] = inter / union if union else 0.0
+        return pd.Series(out)
+
+    pairs = cand.join(
+        grouped.select(F.col("doc_id").alias("a"), F.col("hs").alias("hs_a")), "a"
+    ).join(grouped.select(F.col("doc_id").alias("b"), F.col("hs").alias("hs_b")), "b")
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
-        )
+        pairs.withColumn("jaccard", F.round(jacc("hs_a", "hs_b"), 4))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("a", "b", "jaccard")
     )
@@ -419,20 +439,29 @@ def embedding_near_dups(
     lsh_planes: int = 0,
     lsh_tables: int = 8,
     dim: int = 64,
+    hot_block_threshold: int = 100_000,
 ) -> DataFrame:
     """Cosine near-duplicates, label-blocked (IVF-style): the self-join is
     keyed by the block, never whole-corpus-quadratic.  Dot/norms via JVM
     higher-order functions (zip_with + aggregate over double).
 
-    **Block skew** (one label holding a large share of the corpus makes that
-    block's self-join quadratic AND a single shuffle partition): set
-    ``lsh_planes > 0`` to sub-bucket every block with multi-table sign-LSH —
-    the join key becomes (block, table, bucket), so a hot block spreads over
-    ``lsh_tables × 2^lsh_planes`` shuffle keys and only near-colinear pairs
-    ever meet.  For true near-dups (cos ≥ 0.98 → θ ≤ 11.5°) a plane splits
-    a pair with prob θ/π ≈ 0.036, so 8 tables of 8 planes give per-pair
+    **Block skew auto-mitigation** (one label holding a large share of the
+    corpus makes that block's self-join quadratic AND a single shuffle
+    partition): any block larger than ``hot_block_threshold`` rows is
+    AUTOMATICALLY sub-bucketed with multi-table sign-LSH — its join key
+    becomes (block, table, bucket), spreading the hot block over
+    ``lsh_tables × 2^planes`` shuffle keys so only near-colinear pairs ever
+    meet.  For true near-dups (cos ≥ 0.98 → θ ≤ 11.5°) a plane splits a
+    pair with prob θ/π ≈ 0.036, so 8 tables of 8 planes give per-pair
     recall 1-(1-(1-θ/π)^8)^8 ≈ 1-1e-9 — effectively exact while sub-
-    quadratic.  Default 0 keeps the exact (DuckDB-oracled) semantics."""
+    quadratic.  Blocks at or under the threshold keep the exact all-pairs
+    semantics (the DuckDB-oracled path at sandbox scale).  The hot/cold
+    routing is ONE declarative plan (per-block counts joined in, bucket
+    array chosen per row) — no driver-side decision, so a skewed label
+    distribution at 100 TB needs no operator change.  Setting
+    ``lsh_planes > 0`` forces LSH sub-bucketing for every block."""
+    from govuk_crawler_worker_spark.operators.similarity import lsh_buckets_udf
+
     v = emb.select(
         F.col(id_col).alias("vid"),
         F.col(block_col).alias("block"),
@@ -441,36 +470,44 @@ def embedding_near_dups(
         "norm",
         F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
     )
+    # per-block sizes: tiny (one row per label) → broadcast onto every row
+    sizes = v.groupBy("block").agg(F.count(F.lit(1)).alias("_bn"))
+    v = v.join(F.broadcast(sizes), "block")
     if lsh_planes > 0:
-        from govuk_crawler_worker_spark.operators.similarity import lsh_buckets_udf
-
-        buckets = lsh_buckets_udf(dim, lsh_planes, lsh_tables)
-        keyed = v.withColumn("bs", buckets("v")).select(
-            "vid", "block", "v", "norm", F.posexplode("bs").alias("tbl", "bucket")
-        )
-        pairs = keyed.alias("l").join(
-            keyed.alias("r"),
-            (F.col("l.block") == F.col("r.block"))
-            & (F.col("l.tbl") == F.col("r.tbl"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vid") < F.col("r.vid")),
-        )
+        hot = F.lit(True)
+        planes_n = lsh_planes
     else:
-        pairs = v.alias("l").join(
-            v.alias("r"),
-            (F.col("l.block") == F.col("r.block")) & (F.col("l.vid") < F.col("r.vid")),
-        )
+        hot = F.col("_bn") > F.lit(hot_block_threshold)
+        planes_n = 8
+    # dim=None → planes sized to the actual vectors per Arrow batch (seeded,
+    # so identical across batches); avoids a hard dependency on the declared
+    # default when callers pass other embedding widths
+    buckets = lsh_buckets_udf(None, planes_n, lsh_tables)
+    # hot rows explode to one row per LSH table; cold rows get the single
+    # sentinel key (bucket -1, impossible for a sign-LSH id) that joins
+    # all-pairs within the block — one plan covers both regimes
+    keyed = v.withColumn(
+        "bs", F.when(hot, buckets("v")).otherwise(F.array(F.lit(-1).cast("long")))
+    ).select("vid", "block", "v", "norm", F.posexplode("bs").alias("tbl", "bucket"))
+    pairs = keyed.alias("l").join(
+        keyed.alias("r"),
+        (F.col("l.block") == F.col("r.block"))
+        & (F.col("l.tbl") == F.col("r.tbl"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l.vid") < F.col("r.vid")),
+    )
     dot = F.aggregate(
         F.zip_with(F.col("l.v"), F.col("r.v"), lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    out = pairs.select(
-        F.col("l.vid").alias("a"),
-        F.col("r.vid").alias("b"),
-        F.round(dot / (F.col("l.norm") * F.col("r.norm")), 4).alias("cosine"),
+    return (
+        pairs.select(
+            F.col("l.vid").alias("a"),
+            F.col("r.vid").alias("b"),
+            F.round(dot / (F.col("l.norm") * F.col("r.norm")), 4).alias("cosine"),
+        )
+        # a hot pair colliding in several tables must appear once
+        .dropDuplicates(["a", "b"])
+        .where(F.col("cosine") >= threshold)
     )
-    if lsh_planes > 0:
-        # a pair colliding in several tables appears once
-        out = out.dropDuplicates(["a", "b"])
-    return out.where(F.col("cosine") >= threshold)

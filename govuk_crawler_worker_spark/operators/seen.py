@@ -92,6 +92,18 @@ class BloomFilter:
 
     @classmethod
     def from_bytes(cls, data: bytes, n_bits: int, k: int) -> "BloomFilter":
+        """Decode a stored bitmap; REJECTS a geometry mismatch.  A bitmap
+        written under a different n_bits silently decoded with this one
+        yields garbage membership bits — and a bloom false negative breaks
+        the publish-dedup exactness invariant (the bloom-negative path skips
+        the exact join).  Callers on the probe path catch this and fail safe
+        to maybe_seen=True (the exact join then decides)."""
+        expected = n_bits // 8 + 1
+        if len(data) != expected:
+            raise ValueError(
+                f"bloom bitmap is {len(data)} bytes, geometry n_bits={n_bits} "
+                f"expects {expected} — stale segment from an old build?"
+            )
         return cls(n_bits, k, np.frombuffer(data, dtype=np.uint8).copy())
 
 
@@ -214,8 +226,14 @@ def bloom_probe_join(
 
     def probe(key, cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
         if len(bpdf):
-            bf = BloomFilter.from_bytes(bytes(bpdf["bits"].iloc[0]), n_bits, k)
-            hit = bf.contains_many(cpdf[hash_col].to_numpy(dtype=np.int64))
+            try:
+                bf = BloomFilter.from_bytes(bytes(bpdf["bits"].iloc[0]), n_bits, k)
+                hit = bf.contains_many(cpdf[hash_col].to_numpy(dtype=np.int64))
+            except ValueError:
+                # geometry mismatch (stale segment): fail SAFE — flag every
+                # candidate maybe_seen so the exact anti-join decides; a
+                # false negative here would skip the join and re-enqueue
+                hit = np.ones(len(cpdf), dtype=bool)
         else:
             hit = np.zeros(len(cpdf), dtype=bool)
         cpdf = cpdf.drop(columns=["segment"]).copy()

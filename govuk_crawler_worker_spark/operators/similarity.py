@@ -88,17 +88,23 @@ def lsh_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
     return bucket
 
 
-def lsh_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42):
+def lsh_buckets_udf(dim: int | None, n_planes: int, n_tables: int, seed: int = 42):
     """One bucket id PER TABLE (independent hyperplane sets) — the classic
     multi-table LSH construction: recall = 1-(1-p^b)^L instead of p^b.
-    Vectorized: one (batch, L·b) matmul per Arrow batch."""
-    planes = _planes(dim, n_planes * n_tables, seed)  # (L·b, dim)
+    Vectorized: one (batch, L·b) matmul per Arrow batch.  ``dim=None``
+    derives the dimension from each Arrow batch's vectors (the seeded
+    generator makes the planes identical across batches/executors for a
+    given dimension)."""
+    planes = None if dim is None else _planes(dim, n_planes * n_tables, seed)
     weights = 1 << np.arange(n_planes)
 
     @F.pandas_udf("array<long>")
     def buckets(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy())  # (batch, dim)
-        signs = (m @ planes.T) > 0  # (batch, L·b)
+        p = planes if planes is not None else _planes(
+            m.shape[1], n_planes * n_tables, seed
+        )
+        signs = (m @ p.T) > 0  # (batch, L·b)
         per_table = signs.reshape(len(m), -1, n_planes)  # (batch, L, b)
         ids = per_table.dot(weights).astype(np.int64)  # (batch, L)
         return pd.Series(list(ids))

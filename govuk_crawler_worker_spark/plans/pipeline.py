@@ -78,7 +78,16 @@ BLOOM_SEGMENTS = 16  # segmented bloom table rows
 
 
 def priority_bucket_col(priority):
-    return (priority % N_PRIORITY_BUCKETS).cast("int")
+    """ORDERED (clamped) priority bucket: bucket i holds exactly priority i,
+    except the top bucket which absorbs everything ≥ N-1.  Ordering (not a
+    mod) is what makes the claim scan prunable: every row in a higher bucket
+    outranks every row in a lower one under the claim order
+    (priority DESC), so the claim can read buckets top-down and stop once
+    the cumulative count covers claim_limit — claim-scan I/O O(claim), not
+    O(frontier)."""
+    return F.least(
+        F.greatest(priority, F.lit(0)), F.lit(N_PRIORITY_BUCKETS - 1)
+    ).cast("int")
 
 
 def seen_bucket_of(df):
@@ -125,6 +134,8 @@ class DrainLoop:
         fetcher=None,
         bloom_min_batch: int | None = None,
         mirror_root: str | None = None,
+        metrics_flush_batches: int = 8,
+        debug_capture_plans: bool = False,
     ):
         from govuk_crawler_worker_spark.plans.fetch import TableFetcher
 
@@ -177,6 +188,17 @@ class DrainLoop:
         # (~2k rows/partition, floor 8), capped at the session's configured
         # value so big batches are untouched; restored after drain().
         self._shuffle0 = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # StatsD-style metrics are observability, not crawl state (the
+        # reference fires them async over UDP, util/util.go:97-111): buffer
+        # them driver-side and append every N commits (+ a drain-end flush)
+        # so the small-batch BFS regime doesn't pay a parquet write job per
+        # batch for a 5-row table.  At most N batches of timings are lost on
+        # a crash — never any crawl state.
+        self.metrics_flush_batches = max(1, int(metrics_flush_batches))
+        self._pending_metrics: list[tuple] = []
+        # test hook: capture key physical plans (publish dedup join strategy)
+        self.debug_capture_plans = debug_capture_plans
+        self.debug_plans: dict[str, str] = {}
 
     # -- bootstrap -----------------------------------------------------------
 
@@ -207,7 +229,11 @@ class DrainLoop:
             .select([f.name for f in S.FRONTIER_SCHEMA.fields])
         )
         rows = rows.localCheckpoint(eager=True)
-        n_seeds = rows.count()
+        # one bounded aggregate gives the seed count AND the per-priority-
+        # bucket counts the claim-scan pruning needs (no extra job vs count())
+        pb_rows = rows.groupBy("priority_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        pb_counts = {str(int(r["priority_bucket"])): int(r["n"]) for r in pb_rows}
+        n_seeds = sum(pb_counts.values())
         seen = rows.select(
             "url_hash",
             "url_canon",
@@ -219,13 +245,18 @@ class DrainLoop:
                 "frontier": dict(delta=rows, key="url_canon", bucket_of=frontier_bucket_of),
                 "seen": dict(delta=seen, key="url_canon", bucket_of=seen_bucket_of),
             },
-            meta={"next_batch": 0, "frontier_size": n_seeds, "seen_size": n_seeds},
+            meta={
+                "next_batch": 0,
+                "frontier_size": n_seeds,
+                "seen_size": n_seeds,
+                "frontier_pb_counts": pb_counts,
+            },
         )
 
     # -- segmented bloom lifecycle (catalog-table state, no driver bitmaps) ---
 
     def _bloom_for_batch(self, b: int, prev_meta: dict, seen_raw: DataFrame):
-        """Returns (probe_view | None, commit_rows | None, bloom_meta | None).
+        """Returns (probe_view, commit_rows, bloom_meta, rebuilt, touched).
 
         Lazy maintenance with a watermark: the bloom table covers every seen
         row with ``updated_batch < wm``.  A probing batch first folds the
@@ -248,8 +279,19 @@ class DrainLoop:
                 merged.select("segment"), "segment", "left_anti"
             ).unionByName(merged)
             new_meta = dict(meta, wm=b)
+            # bounded: ≤ BLOOM_SEGMENTS rows off a checkpointed df — lets the
+            # commit skip its touched-bucket discovery job
+            touched = sorted(int(r["segment"]) for r in merged.select("segment").collect())
+            return probe_view, merged, new_meta, False, touched
         else:
-            # (re)build: size for 8× the current seen set, per segment
+            # (re)build: size for 8× the current seen set, per segment.
+            # The rebuild changes n_bits/k, so it must REPLACE the whole
+            # bloom table: a segment with no current seen rows (e.g. emptied
+            # by compact_seen) would otherwise keep a stale old-geometry
+            # bitmap row that the next probe decodes with the new n_bits/k
+            # — garbage bits, and a bloom false negative breaks the dedup
+            # exactness invariant.  The caller commits this with _full=True
+            # (touches every existing bucket → stale rows dropped).
             capacity = max(seen_size * 8, 1 << 14)
             nb, k = bloom_sizing(capacity // BLOOM_SEGMENTS + 1)
             merged = bloom_partials(
@@ -263,36 +305,67 @@ class DrainLoop:
                 "capacity": capacity,
                 "segments": BLOOM_SEGMENTS,
             }
-        return probe_view, merged, new_meta
+            return probe_view, merged, new_meta, True, None
 
-    # -- one micro-batch -------------------------------------------------------
+    # -- claim plumbing --------------------------------------------------------
 
-    def run_batch(self, b: int, eligible_hint: int | None = None) -> BatchStats:
-        """One micro-batch.  ``eligible_hint`` = frontier row count if the
-        caller already knows it (lets the claim skip the global sort when the
-        claim limit cannot bind)."""
-        t0 = time.monotonic()
-        cfg, u = self.config, self.udfs
-        stats = BatchStats(batch_id=b)
-        stage_t = time.monotonic()
-        if eligible_hint is not None:
-            wave_parts = max(8, min(self._shuffle0, eligible_hint // 2000))
-            self.spark.conf.set("spark.sql.shuffle.partitions", str(wave_parts))
+    def _politeness_on(self) -> bool:
+        cfg = self.config
+        return bool(cfg.crawl_delay_by_host) or cfg.default_crawl_delay_s > 0
 
-        prev_meta = dict(self.catalog.latest()["meta"])
-        frontier = self.catalog.read("frontier", S.FRONTIER_SCHEMA)
-        seen_raw = self.catalog.read("seen", S.SEEN_SCHEMA)
-        seen = expire_seen(seen_raw, b, self.ttl_batches)
+    def _read_claim_frontier(self, prev_meta: dict, eligible_hint: int | None):
+        """Priority-ordered frontier bucket pruning (the queue-consume
+        analogue: the reference's claim is O(prefetch), queue_connection.go:
+        30,68-77 — ours must be O(claim), not O(frontier)).
 
-        # ---- A1: claim -----------------------------------------------------
+        Buckets are CLAMPED priorities (see priority_bucket_col), so reading
+        them top-down until the cumulative per-bucket counts (carried in
+        commit meta) cover claim_limit bounds the claim-scan I/O by the
+        claim size.  Counts may over-estimate (a TTL-expired republish
+        upserts an existing frontier row) and back-off thins eligibility —
+        both are safe: over-read costs a little I/O, under-claim triggers
+        the exact full-scan fallback in run_batch.  Returns (frontier_df,
+        pruned: bool)."""
+        cfg = self.config
+        pb_counts = prev_meta.get("frontier_pb_counts")
+        if pb_counts and eligible_hint is not None and eligible_hint > cfg.claim_limit:
+            counts = {int(k): int(v) for k, v in pb_counts.items() if int(v) > 0}
+            prefix, cum = [], 0
+            for pb in sorted(counts, reverse=True):
+                prefix.append(pb)
+                cum += counts[pb]
+                if cum >= cfg.claim_limit:
+                    break
+            if any(pb not in prefix for pb in counts):
+                bucket_ids = [
+                    pb * FRONTIER_HOST_BUCKETS + j
+                    for pb in prefix
+                    for j in range(FRONTIER_HOST_BUCKETS)
+                ]
+                return (
+                    self.catalog.read_buckets(
+                        "frontier", bucket_ids, S.FRONTIER_SCHEMA
+                    ),
+                    True,
+                )
+        return self.catalog.read("frontier", S.FRONTIER_SCHEMA), False
+
+    def _claim_stage(self, frontier: DataFrame, b: int, eligible_hint: int | None):
+        """Eligibility filter + salted politeness budget + global top-K,
+        rebalanced by url_hash and materialized (localCheckpoint) so the
+        claim scan runs exactly once per batch and its bucket footprint can
+        be collected before the state lookup / fetch."""
+        cfg = self.config
         eligible = frontier.where(F.col("not_before_batch") <= F.lit(b))
 
         budget = F.lit(cfg.host_budget("__default__"))
         for host, _delay in cfg.crawl_delay_by_host.items():
-            budget = F.when(F.col("host") == host, F.lit(cfg.host_budget(host))).otherwise(budget)
+            budget = F.when(
+                F.col("host") == host, F.lit(cfg.host_budget(host))
+            ).otherwise(budget)
 
         order = [F.col("priority").desc(), F.col("url_canon").asc()]
-        if not cfg.crawl_delay_by_host and cfg.default_crawl_delay_s <= 0:
+        if not self._politeness_on():
             # no politeness delay configured → every host budget equals the
             # claim limit and the per-host rank filter is a tautology.  Skip
             # the window: it shuffles into one partition PER HOST, so a hot
@@ -328,18 +401,100 @@ class DrainLoop:
         else:
             claimed = budgeted.orderBy(*order).limit(cfg.claim_limit)
         n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        claimed = claimed.repartition(n_parts, "url_hash")
+        return claimed.repartition(n_parts, "url_hash").localCheckpoint(eager=True)
+
+    def _anti_join_seen_bucketed(
+        self, cand: DataFrame, b: int, claim_delta: DataFrame
+    ) -> DataFrame:
+        """Exact publish dedup past broadcast scale: anti-join the candidates
+        against ONLY their seen buckets (PLANS.md §2's bucketed plan).  No
+        broadcast hint — at 10^10 seen URLs the build side must move by
+        bucketed shuffle, never ship whole to every executor.  ``cand`` must
+        be materialized (checkpointed): its bucket footprint is collected
+        first (bounded by SEEN_BUCKETS ints — never row data).  The claim
+        delta (5XX incr / reset, one batch, tiny) is merged in so the
+        happens-before of claim-phase seen writes over the publish Get is
+        preserved; same-canon rows share a bucket, so bucket pruning cannot
+        lose a membership row."""
+        buckets = sorted(
+            int(r["sb"])
+            for r in cand.select(seen_bucket_of(cand).alias("sb")).distinct().collect()
+        )
+        seen_b = expire_seen(
+            self.catalog.read_buckets("seen", buckets, S.SEEN_SCHEMA),
+            b,
+            self.ttl_batches,
+        )
+        enq = (
+            seen_merge(seen_b, claim_delta)
+            .where(F.col("state") >= S.STATE_ENQUEUED)
+            .select("url_canon")
+        )
+        out = cand.join(enq, "url_canon", "left_anti")
+        if self.debug_capture_plans and buckets:
+            # only keep a plan that actually reads seen buckets (a batch
+            # with zero bloom-positive candidates proves nothing)
+            self.debug_plans["publish_dedup"] = (
+                out._jdf.queryExecution().executedPlan().toString()
+            )
+        return out
+
+    # -- one micro-batch -------------------------------------------------------
+
+    def run_batch(self, b: int, eligible_hint: int | None = None) -> BatchStats:
+        """One micro-batch.  ``eligible_hint`` = frontier row count if the
+        caller already knows it (lets the claim skip the global sort when the
+        claim limit cannot bind)."""
+        t0 = time.monotonic()
+        cfg, u = self.config, self.udfs
+        stats = BatchStats(batch_id=b)
+        stage_t = time.monotonic()
+        if eligible_hint is not None:
+            wave_parts = max(8, min(self._shuffle0, eligible_hint // 2000))
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(wave_parts))
+
+        prev_meta = dict(self.catalog.latest()["meta"])
+        seen_size = int(prev_meta.get("seen_size", 0))
+
+        # ---- A1: claim (priority-bucket-pruned scan + exact fallback) -------
+        frontier, pruned = self._read_claim_frontier(prev_meta, eligible_hint)
+        claimed = self._claim_stage(frontier, b, eligible_hint)
+        if pruned and claimed.count() < cfg.claim_limit:
+            # the pruned prefix under-delivered (back-off/politeness thinned
+            # its eligible rows) — redo against the full frontier, so pruning
+            # can only ever change how much is READ, never what is claimed.
+            # When the prefix fills the limit the pruned result provably
+            # equals the full scan: clamped buckets are priority-ordered, so
+            # every prefix row outranks every skipped row under the claim
+            # order, and the politeness window's per-(host, salt) ranks are
+            # unchanged by dropping lower-ranked rows.  Nothing was fetched
+            # yet — the fetch runs strictly after the claim is final.
+            frontier = self.catalog.read("frontier", S.FRONTIER_SCHEMA)
+            claimed = self._claim_stage(frontier, b, eligible_hint)
 
         # ---- A2: state lookup + fetch (pluggable) + status-driven route -----
-        # claimed ≤ claim_limit rows → broadcast it against the big tables.
-        # NB: claimed is the preserved side of these left joins, so the build
-        # side is the lookup table; at sandbox scale AQE broadcasts it.  The
+        # The retry-gate lookup needs the claimed rows' seen states BEFORE
+        # the fetch.  claimed ≤ claim_limit rows → its seen-bucket footprint
+        # is tiny; read ONLY those buckets (O(claim) I/O, not O(seen) — the
+        # claimed df is checkpointed, so this collect is a bounded scan of
+        # materialized rows, and only bucket ids reach the driver).  The
         # fetcher is pluggable behind one contract (plans/fetch.py):
         # TableFetcher joins the synthetic web (tests/bench), HttpFetcher
         # does real paced GETs inside applyInPandas — the route chain below
         # is driven purely by the returned status, so both paths exercise
         # the identical downstream plan (crawler.go:84-109 status routing).
-        state_lkp = seen.select("url_canon", F.col("state").alias("crawl_count"))
+        claim_sb = sorted(
+            int(r["sb"])
+            for r in claimed.select(seen_bucket_of(claimed).alias("sb"))
+            .distinct()
+            .collect()
+        )
+        seen_cl = expire_seen(
+            self.catalog.read_buckets("seen", claim_sb, S.SEEN_SCHEMA),
+            b,
+            self.ttl_batches,
+        )
+        state_lkp = seen_cl.select("url_canon", F.col("state").alias("crawl_count"))
         enriched = (
             claimed.join(state_lkp, "url_canon", "left")
             .fillna({"crawl_count": 0})
@@ -428,22 +583,41 @@ class DrainLoop:
             .localCheckpoint(eager=True)
         )
 
-        # one aggregation job covers all per-route stats; the extra grouping
-        # keys cost nothing and let the commit skip appends that would write
-        # empty tables
+        # ONE aggregation job covers all per-route stats PLUS every bucket
+        # footprint the commit needs (frontier deletes/requeues per bucket,
+        # claim-delta seen buckets, per-priority-bucket claim counts): the
+        # extra grouping keys let the commit skip both its touched-bucket
+        # discovery job and appends that would write empty tables.  Collected
+        # rows are bounded by the distinct (route, bucket, bucket) combos —
+        # a few thousand ints at worst, never row data.
         rc = routed.groupBy(
             "route",
             F.coalesce(F.col("ex.error"), F.lit(False)).alias("exerr"),
             F.coalesce(F.col("has_params"), F.lit(True)).alias("hp"),
+            seen_bucket_of(routed).alias("sb"),
+            frontier_bucket_of(routed).alias("fb"),
         ).count().collect()
         route_counts: dict[str, int] = {}
         n_extract_err = n_fetch_rows = 0
+        claimed_pb: dict[int, int] = {}
+        requeued_pb: dict[int, int] = {}
+        delete_fb: set[int] = set()
+        claim_delta_sb: set[int] = set()
         for r in rc:
             route_counts[r["route"]] = route_counts.get(r["route"], 0) + r["count"]
             if r["route"] == "fetch_html" and r["exerr"]:
                 n_extract_err += r["count"]
             if r["route"] in ("fetch_html", "fetch_other") and not r["hp"]:
                 n_fetch_rows += r["count"]
+            fb = int(r["fb"])
+            pb = fb // FRONTIER_HOST_BUCKETS
+            delete_fb.add(fb)
+            claimed_pb[pb] = claimed_pb.get(pb, 0) + r["count"]
+            if r["route"] in ("requeue_429", "requeue_5xx"):
+                # a requeue keeps its priority and host → same frontier bucket
+                requeued_pb[pb] = requeued_pb.get(pb, 0) + r["count"]
+            if r["route"] in ("requeue_5xx", "reset"):
+                claim_delta_sb.add(int(r["sb"]))
         stats.claimed = sum(route_counts.values())
         stats.requeued = route_counts.get("requeue_429", 0) + route_counts.get(
             "requeue_5xx", 0
@@ -536,18 +710,30 @@ class DrainLoop:
                 F.lit(b).cast("long").alias("updated_batch"),
             )
         )
-        seen_after_claim = seen_merge(seen, claim_delta)
-        enqueued_seen = seen_after_claim.where(
-            F.col("state") >= S.STATE_ENQUEUED
-        ).select("url_canon")
-        # segmented-bloom pre-filter: engaged once the seen table outgrows
-        # broadcast (strategy switch, see __init__); below that the exact
-        # anti-join alone is cheaper.  NOTHING is collected either way.
+        # Publish-dedup strategy switch, Catalyst-style (PLANS.md §2):
+        #   seen < bloom_min_seen          → broadcast-hint exact anti-join
+        #                                    (build side ships once, cheapest
+        #                                    while the seen table is small)
+        #   seen ≥ bloom_min_seen, bloom   → segmented-bloom pre-filter cuts
+        #                                    the probe side; the bloom-POSITIVE
+        #                                    survivors confirm via a BUCKETED
+        #                                    anti-join against only their seen
+        #                                    buckets — no broadcast, both
+        #                                    sides move by bucketed shuffle
+        #   seen ≥ bloom_min_seen, no bloom→ bucketed anti-join for ALL
+        #                                    candidates (same plan, no filter)
+        # NOTHING is collected on any path except bounded bucket-id lists.
         probe_view = bloom_rows = bloom_meta = None
-        if self.use_bloom and int(prev_meta.get("seen_size", 0)) >= self.bloom_min_seen:
-            probe_view, bloom_rows, bloom_meta = self._bloom_for_batch(
-                b, prev_meta, seen_raw
-            )
+        bloom_rebuilt, bloom_touched = False, None
+        if self.use_bloom and seen_size >= self.bloom_min_seen:
+            seen_raw = self.catalog.read("seen", S.SEEN_SCHEMA)
+            (
+                probe_view,
+                bloom_rows,
+                bloom_meta,
+                bloom_rebuilt,
+                bloom_touched,
+            ) = self._bloom_for_batch(b, prev_meta, seen_raw)
         if probe_view is not None:
             nb, k = bloom_meta["n_bits"], bloom_meta["k"]
             cands = bloom_probe_join(
@@ -556,14 +742,30 @@ class DrainLoop:
             # bloom-negative → certainly new (no false negatives: the filter
             # covers every committed seen row): skip the join entirely
             certainly_new = cands.where(~F.col("maybe_seen")).drop("maybe_seen")
-            confirmed_new = (
-                cands.where(F.col("maybe_seen"))
-                .drop("maybe_seen")
-                .join(enqueued_seen.hint("broadcast"), "url_canon", "left_anti")
-            )
+            maybe = cands.where(F.col("maybe_seen")).drop("maybe_seen")
+            confirmed_new = self._anti_join_seen_bucketed(maybe, b, claim_delta)
             new_urls = certainly_new.unionByName(confirmed_new)
+        elif seen_size < self.bloom_min_seen:
+            seen_all = expire_seen(
+                self.catalog.read("seen", S.SEEN_SCHEMA), b, self.ttl_batches
+            )
+            enqueued_seen = (
+                seen_merge(seen_all, claim_delta)
+                .where(F.col("state") >= S.STATE_ENQUEUED)
+                .select("url_canon")
+            )
+            new_urls = cands.join(
+                enqueued_seen.hint("broadcast"), "url_canon", "left_anti"
+            )
+            if self.debug_capture_plans:
+                self.debug_plans["publish_dedup"] = (
+                    new_urls._jdf.queryExecution().executedPlan().toString()
+                )
         else:
-            new_urls = cands.join(enqueued_seen.hint("broadcast"), "url_canon", "left_anti")
+            # bloom disabled but the seen table is past broadcast size:
+            # materialize the candidates, then bucket-wise exact anti-join
+            cands = cands.localCheckpoint(eager=True)
+            new_urls = self._anti_join_seen_bucketed(cands, b, claim_delta)
 
         inserts = (
             new_urls.withColumn("host", u["host"]("url"))
@@ -575,8 +777,20 @@ class DrainLoop:
             .select([f.name for f in S.FRONTIER_SCHEMA.fields])
             .localCheckpoint(eager=True)
         )
-        # bounded count — no row data ever reaches the driver
-        stats.published = inserts.count()
+        # bounded aggregate — the published count AND the inserts' bucket
+        # footprints for both state tables in one job; no row data ever
+        # reaches the driver (≤ SEEN_BUCKETS × frontier-bucket combos)
+        ins_rows = (
+            inserts.groupBy(
+                seen_bucket_of(inserts).alias("sb"),
+                frontier_bucket_of(inserts).alias("fb"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        stats.published = sum(int(r["n"]) for r in ins_rows)
+        insert_sb = {int(r["sb"]) for r in ins_rows}
+        insert_fb = {int(r["fb"]) for r in ins_rows}
         stats.stage_ms["publish_urls"] = (time.monotonic() - stage_t) * 1000
         stage_t = time.monotonic()
 
@@ -627,17 +841,23 @@ class DrainLoop:
         frontier_delta = requeues.unionByName(inserts)
 
         # ---- metrics (B30 StatsD labels) --------------------------------------
+        # buffered driver-side, flushed every metrics_flush_batches commits
+        # (+ drain-end flush) — see __init__
         stats.stage_ms["read_from_queue"] = 0.0  # folded into claim/crawl_url
-        metrics_rows = [
+        self._pending_metrics.extend(
             (b, stage, float(ms), int(stats.claimed), 0)
             for stage, ms in stats.stage_ms.items()
-        ]
-        metrics_df = self.spark.createDataFrame(metrics_rows, S.METRICS_SCHEMA)
+        )
 
         # ---- per-batch payload validation (north rule) ------------------------
         # skip appends that would write empty tables (counts already known —
         # saves 1-2 write jobs per batch in the BFS tail)
-        appends = {"metrics": metrics_df}
+        appends = {}
+        if (b + 1) % self.metrics_flush_batches == 0 and self._pending_metrics:
+            appends["metrics"] = self.spark.createDataFrame(
+                self._pending_metrics, S.METRICS_SCHEMA
+            )
+            self._pending_metrics = []
         if n_fetch_rows > 0:
             appends["fetched"] = fetched_new
         if stats.dead + n_extract_err > 0:
@@ -656,14 +876,23 @@ class DrainLoop:
         # frontier + seen + bloom are bucketed MERGES (per-bucket rewrite,
         # untouched bucket files carried forward as pointers); fetched / dead /
         # metrics are appends — every table's I/O is delta-proportional.
+        # touched-bucket sets are already known driver-side (from the route
+        # and insert aggregates above) — passing them lets the commit skip
+        # its touched-bucket discovery job entirely
         merges = {
             "frontier": dict(
                 delta=frontier_delta,
                 key="url_canon",
                 bucket_of=frontier_bucket_of,
                 deletes=frontier_deletes,
+                touched=sorted(delete_fb | insert_fb),
             ),
-            "seen": dict(delta=seen_delta, key="url_canon", bucket_of=seen_bucket_of),
+            "seen": dict(
+                delta=seen_delta,
+                key="url_canon",
+                bucket_of=seen_bucket_of,
+                touched=sorted(claim_delta_sb | insert_sb),
+            ),
         }
         if bloom_rows is not None:
             merges["bloom"] = dict(
@@ -671,15 +900,42 @@ class DrainLoop:
                 key="segment",
                 bucket_of=lambda df: F.col("segment"),
             )
+            if bloom_rebuilt:
+                # geometry changed (n_bits/k): replace the WHOLE bloom table
+                # so no stale old-geometry segment row survives (a stale row
+                # decoded with the new geometry is garbage bits — and a bloom
+                # false negative would break dedup exactness)
+                merges["bloom"]["_full"] = True
+            else:
+                merges["bloom"]["touched"] = bloom_touched
         prev_n = prev_meta.get("frontier_size", eligible_hint)
         if prev_n is None:
-            prev_n = frontier.count()
+            prev_n = self.catalog.read("frontier", S.FRONTIER_SCHEMA).count()
         new_meta = dict(prev_meta)
         new_meta["next_batch"] = b + 1
         new_meta["frontier_size"] = (
             int(prev_n) - stats.claimed + stats.requeued + stats.published
         )
-        new_meta["seen_size"] = int(prev_meta.get("seen_size", 0)) + stats.published
+        new_meta["seen_size"] = seen_size + stats.published
+        if prev_meta.get("frontier_pb_counts") is not None:
+            # per-priority-bucket counts for the claim-scan pruning: exact
+            # delta arithmetic except published (which may upsert a row the
+            # frontier already holds — over-count only, the safe direction:
+            # meta ≥ actual always, so meta==0 still implies actually empty
+            # and pruning only ever over-reads; reconcile_frontier() trues
+            # it up periodically)
+            pbc = {
+                int(k2): int(v) for k2, v in prev_meta["frontier_pb_counts"].items()
+            }
+            for pb, n_cl in claimed_pb.items():
+                pbc[pb] = pbc.get(pb, 0) - n_cl
+            for pb, n_rq in requeued_pb.items():
+                pbc[pb] = pbc.get(pb, 0) + n_rq
+            if stats.published:
+                pbc[0] = pbc.get(0, 0) + stats.published  # published → priority 0
+            new_meta["frontier_pb_counts"] = {
+                str(pb): n2 for pb, n2 in pbc.items() if n2 > 0
+            }
         if bloom_meta is not None:
             new_meta["bloom"] = bloom_meta
         self.catalog.commit(appends=appends, merges=merges, meta=new_meta)
@@ -688,6 +944,33 @@ class DrainLoop:
         return stats
 
     # -- maintenance ------------------------------------------------------------
+
+    def flush_metrics(self) -> None:
+        """Append any buffered metrics rows (their own tiny commit)."""
+        if not self._pending_metrics:
+            return
+        df = self.spark.createDataFrame(self._pending_metrics, S.METRICS_SCHEMA)
+        self.catalog.commit(appends={"metrics": df})
+        self._pending_metrics = []
+
+    def reconcile_frontier(self) -> None:
+        """True up the meta frontier counts against the actual table (one
+        bounded groupBy job).  The per-batch arithmetic can only OVER-count
+        (a TTL-expired republish upserts an existing frontier row), which is
+        safe for both termination (meta==0 ⇒ empty) and pruning (over-read);
+        this periodic reconciliation stops the drift growing without bound
+        on long crawls."""
+        rows = (
+            self.catalog.read("frontier", S.FRONTIER_SCHEMA)
+            .groupBy("priority_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        pb_counts = {str(int(r["priority_bucket"])): int(r["n"]) for r in rows}
+        new_meta = dict(self.catalog.latest()["meta"])
+        new_meta["frontier_size"] = sum(pb_counts.values())
+        new_meta["frontier_pb_counts"] = pb_counts
+        self.catalog.commit(meta=new_meta)
 
     def compact_seen(self) -> None:
         """Physically reclaim TTL-expired seen rows (the Redis analogue is
@@ -701,6 +984,9 @@ class DrainLoop:
             horizon = b - self.ttl_batches
             keep = lambda df: F.col("updated_batch") >= F.lit(horizon)  # noqa: E731
         self.catalog.compact("seen", seen_bucket_of, keep)
+        # compaction is the periodic maintenance entry point — piggy-back the
+        # frontier count reconciliation here
+        self.reconcile_frontier()
 
     # -- the loop ---------------------------------------------------------------
 
@@ -716,8 +1002,9 @@ class DrainLoop:
             return self._drain(b, end, out, progress)
         finally:
             # restore the session's configured shuffle width (run_batch sizes
-            # it to each wave)
+            # it to each wave) and flush any buffered metrics
             self.spark.conf.set("spark.sql.shuffle.partitions", str(self._shuffle0))
+            self.flush_metrics()
 
     def _drain(self, b, end, out, progress):
         while b < end:
@@ -732,16 +1019,32 @@ class DrainLoop:
             out.append(stats)
             if progress:
                 progress(stats)
+            if (b + 1) % 256 == 0:
+                # bound the (over-count-only) frontier meta drift on long
+                # crawls — one bounded groupBy job every 256 batches
+                self.reconcile_frontier()
             if stats.claimed == 0:
-                # every row is backed off past b — jump the clock to the
-                # earliest not_before instead of spinning (bounded agg, only
-                # on this rare path)
+                # nothing claimed despite a non-empty frontier: either every
+                # row is backed off past b, or (with politeness on) the salted
+                # budget's rotating remainder gave no eligible URL a winning
+                # salt rank THIS batch — e.g. budget=1 over k salt buckets
+                # only claims rank (k - b) % k.  Distinguish via the earliest
+                # not_before (bounded agg, only on this rare path).
                 min_nb = self.catalog.read("frontier", S.FRONTIER_SCHEMA).agg(
                     F.min("not_before_batch")
                 ).collect()[0][0]
-                if min_nb is None or int(min_nb) <= b:
-                    break
-                b = int(min_nb)
-                continue
+                if min_nb is None:
+                    break  # frontier actually empty (meta over-count drained)
+                if int(min_nb) > b:
+                    b = int(min_nb)  # all backed off — jump the clock
+                    continue
+                if self._politeness_on():
+                    # eligible rows exist but no salt rank won this batch:
+                    # advance ONE batch (bounded by `end`) so the rotating
+                    # remainder can reach the starved URLs — the simulator
+                    # does exactly this (sim.py batch loop never stalls)
+                    b += 1
+                    continue
+                break  # no politeness and nothing claimable: done
             b += 1
         return out

@@ -139,7 +139,14 @@ class Catalog:
                 "key":     "url_canon",          # upsert/delete identity
                 "bucket_of": lambda df: <int Column computed from row cols>,
                 "deletes": <rows to delete, carrying key + bucket inputs>,
+                "touched": [bucket ids],  # optional: caller-known footprint
             }}
+
+        ``touched`` (optional) is the delta∪deletes bucket footprint when the
+        caller already knows it (e.g. from an aggregate it ran anyway) — the
+        commit then skips its own touched-bucket discovery job.  It must be a
+        SUPERSET of the real footprint; extra buckets are rewritten verbatim
+        (wasteful, never wrong).
 
         Untouched buckets keep pointing at their previous snapshot files
         (byte-identical across commits); touched buckets are rewritten as
@@ -233,24 +240,35 @@ class Catalog:
             schemas[name] = json.dumps(df.schema.jsonValue())
 
         # ONE job computes every merge table's touched-bucket set (tagged
-        # union) — commit latency matters in the small-batch BFS regime
-        touched_by: dict[str, list[int]] = {name: [] for name, _ in merge_work}
-        if merge_work:
+        # union) — commit latency matters in the small-batch BFS regime.
+        # Specs that carry a caller-provided "touched" footprint skip the
+        # job entirely (zero discovery jobs when every spec provides one).
+        touched_by: dict[str, list[int]] = {
+            name: sorted(int(x) for x in spec["touched"])
+            for name, spec in merge_work
+            if spec.get("touched") is not None
+        }
+        discover = [
+            (name, spec) for name, spec in merge_work if name not in touched_by
+        ]
+        for name, _spec in discover:
+            touched_by[name] = []
+        if discover:
             tagged = None
-            for name, spec in merge_work:
+            for name, spec in discover:
                 t = merge_keyed(spec).select(F.lit(name).alias("_t"), "_pb").distinct()
                 tagged = t if tagged is None else tagged.unionByName(t)
             for r in tagged.distinct().collect():
                 touched_by[r["_t"]].append(int(r["_pb"]))
-            for mname, spec in merge_work:
-                if spec.get("_full"):
-                    # a full rewrite also touches every EXISTING bucket (a
-                    # bucket whose rows were all dropped must lose its
-                    # pointer)
-                    existing = (prev.get("parts", {}).get(mname) or {}).keys()
-                    touched_by[mname] = sorted(
-                        set(touched_by[mname]) | {int(k) for k in existing}
-                    )
+        for mname, spec in merge_work:
+            if spec.get("_full"):
+                # a full rewrite also touches every EXISTING bucket (a
+                # bucket whose rows were all dropped must lose its
+                # pointer)
+                existing = (prev.get("parts", {}).get(mname) or {}).keys()
+                touched_by[mname] = sorted(
+                    set(touched_by[mname]) | {int(k) for k in existing}
+                )
 
         def run(unit):
             kind, payload = unit

@@ -78,15 +78,22 @@ class StreamingDrain:
         return self._query
 
     def process_available(self, timeout_s: float = 120.0) -> None:
-        """Test helper: let the stream drain everything currently claimable."""
+        """Test helper: let the stream drain everything currently claimable.
+
+        Reads the frontier size from the commit meta like ``_on_tick`` does
+        (no per-poll count job — the meta only over-counts, and hits exactly
+        0 when the drain is done); one count() only for legacy catalogs
+        without the meta field."""
         import time
 
         from govuk_crawler_worker_spark.plans import schemas as S
 
         deadline = time.monotonic() + timeout_s
         while time.monotonic() < deadline:
-            frontier = self.loop.catalog.read("frontier", S.FRONTIER_SCHEMA)
-            if frontier.count() == 0:
+            n = self.loop.catalog.latest()["meta"].get("frontier_size")
+            if n is None:
+                n = self.loop.catalog.read("frontier", S.FRONTIER_SCHEMA).count()
+            if int(n) == 0:
                 break
             time.sleep(0.5)
 

@@ -356,7 +356,8 @@ class TestBloomLifecycle:
         seen_raw = cat.read("seen", S.SEEN_SCHEMA)
 
         # first call: no bloom meta → build, wm = b
-        view1, rows1, meta1 = loop._bloom_for_batch(1, cat.latest()["meta"], seen_raw)
+        view1, rows1, meta1, rb1, _t1 = loop._bloom_for_batch(1, cat.latest()["meta"], seen_raw)
+        assert rb1  # first build is a (re)build — committed _full
         assert meta1["wm"] == 1 and meta1["capacity"] >= 200 * 8
         cat.commit(
             merges={"bloom": dict(delta=rows1, key="segment", bucket_of=lambda df: F.col("segment"))},
@@ -364,7 +365,10 @@ class TestBloomLifecycle:
         )
 
         # second call, within capacity: FOLD path (same sizing, wm advances)
-        view2, rows2, meta2 = loop._bloom_for_batch(5, cat.latest()["meta"], seen_raw)
+        view2, rows2, meta2, rb2, t2 = loop._bloom_for_batch(5, cat.latest()["meta"], seen_raw)
+        # fold path carries its touched segment list (here []: the fold
+        # delta is empty — no seen row newer than the watermark)
+        assert not rb2 and t2 is not None
         assert meta2["n_bits"] == meta1["n_bits"] and meta2["wm"] == 5
         assert meta2["capacity"] == meta1["capacity"]
 
@@ -375,7 +379,8 @@ class TestBloomLifecycle:
             meta={**cat.latest()["meta"], "seen_size": 40_000},
         )
         seen_raw2 = cat.read("seen", S.SEEN_SCHEMA)
-        view3, rows3, meta3 = loop._bloom_for_batch(7, cat.latest()["meta"], seen_raw2)
+        view3, rows3, meta3, rb3, _t3 = loop._bloom_for_batch(7, cat.latest()["meta"], seen_raw2)
+        assert rb3  # overflow → geometry rebuild, committed _full
         assert meta3["capacity"] >= 40_000 * 8
         assert meta3["n_bits"] > meta1["n_bits"]
         # the rebuilt filter must cover the whole seen set (no false negatives)
