@@ -188,6 +188,10 @@ class DrainLoop:
         # (~2k rows/partition, floor 8), capped at the session's configured
         # value so big batches are untouched; restored after drain().
         self._shuffle0 = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        self._aqe0 = str(self.spark.conf.get("spark.sql.adaptive.enabled", "true")).lower()
+        self._codegen0 = str(
+            self.spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        ).lower()
         # StatsD-style metrics are observability, not crawl state (the
         # reference fires them async over UDP, util/util.go:97-111): buffer
         # them driver-side and append every N commits (+ a drain-end flush)
@@ -352,9 +356,10 @@ class DrainLoop:
 
     def _claim_stage(self, frontier: DataFrame, b: int, eligible_hint: int | None):
         """Eligibility filter + salted politeness budget + global top-K,
-        rebalanced by url_hash and materialized (localCheckpoint) so the
-        claim scan runs exactly once per batch and its bucket footprint can
-        be collected before the state lookup / fetch."""
+        rebalanced by url_hash.  Returns a LAZY plan — run_batch
+        materializes it (localCheckpoint) only when something must be
+        collected off it before the fetch (priority-pruning fallback count,
+        claim-gate bucket footprint past the seen broadcast threshold)."""
         cfg = self.config
         eligible = frontier.where(F.col("not_before_batch") <= F.lit(b))
 
@@ -398,10 +403,18 @@ class DrainLoop:
         # cluster by url_hash so fetch/extract/publish parallelize.
         if eligible_hint is not None and eligible_hint <= cfg.claim_limit:
             claimed = budgeted
+            if eligible_hint <= 2000:
+                # small wave: the bucketed frontier scan (and the politeness
+                # window's (host, salt) hash when it ran) already spread the
+                # rows; an extra rebalance shuffle costs a whole stage of
+                # fixed latency for nothing at this row count
+                return claimed
         else:
             claimed = budgeted.orderBy(*order).limit(cfg.claim_limit)
         n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        return claimed.repartition(n_parts, "url_hash").localCheckpoint(eager=True)
+        # the global top-K leaves ONE partition (and tiny scans few):
+        # rebalance by url_hash so fetch/extract/publish parallelize
+        return claimed.repartition(n_parts, "url_hash")
 
     def _anti_join_seen_bucketed(
         self, cand: DataFrame, b: int, claim_delta: DataFrame
@@ -452,13 +465,39 @@ class DrainLoop:
         if eligible_hint is not None:
             wave_parts = max(8, min(self._shuffle0, eligible_hint // 2000))
             self.spark.conf.set("spark.sql.shuffle.partitions", str(wave_parts))
+            # AQE re-plans stage-by-stage — a driver round trip per shuffle.
+            # On a small wave (the BFS feedback regime, ~30 stages of a few
+            # hundred rows) that latency IS the batch floor, and the
+            # partitions are already wave-sized above, so AQE has nothing
+            # left to optimize: turn it off for the batch (restored at batch
+            # end / drain exit).  Big batches and real clusters keep it —
+            # its skew-join splitting is exactly what hot-host shuffles
+            # need at 100 TB.
+            if eligible_hint <= 5000 and self._aqe0 == "true":
+                self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+            if eligible_hint <= 2000:
+                # whole-stage codegen compiles the (big) batch plan anew per
+                # batch — at a few hundred rows the Janino compile costs more
+                # than interpreted evaluation ever saves.  Restored with AQE.
+                self.spark.conf.set("spark.sql.codegen.wholeStage", "false")
 
         prev_meta = dict(self.catalog.latest()["meta"])
         seen_size = int(prev_meta.get("seen_size", 0))
 
         # ---- A1: claim (priority-bucket-pruned scan + exact fallback) -------
+        # The claim is materialized (localCheckpoint) only when something
+        # must be collected off it before the fetch: the pruning fallback
+        # count, or the claim-gate bucket footprint past the seen broadcast
+        # threshold.  In the small-seen regime the lazy plan flows straight
+        # into the routed pass (one materialization per batch, the BFS
+        # floor's dominant cost).
         frontier, pruned = self._read_claim_frontier(prev_meta, eligible_hint)
+        prune_seen = seen_size >= self.bloom_min_seen
         claimed = self._claim_stage(frontier, b, eligible_hint)
+        if pruned or prune_seen:
+            # lazy: the fallback count / bucket-footprint collect right
+            # below is the first action and materializes it
+            claimed = claimed.localCheckpoint(eager=False)
         if pruned and claimed.count() < cfg.claim_limit:
             # the pruned prefix under-delivered (back-off/politeness thinned
             # its eligible rows) — redo against the full frontier, so pruning
@@ -471,40 +510,57 @@ class DrainLoop:
             # yet — the fetch runs strictly after the claim is final.
             frontier = self.catalog.read("frontier", S.FRONTIER_SCHEMA)
             claimed = self._claim_stage(frontier, b, eligible_hint)
+            if prune_seen:
+                claimed = claimed.localCheckpoint(eager=False)
 
         # ---- A2: state lookup + fetch (pluggable) + status-driven route -----
         # The retry-gate lookup needs the claimed rows' seen states BEFORE
-        # the fetch.  claimed ≤ claim_limit rows → its seen-bucket footprint
-        # is tiny; read ONLY those buckets (O(claim) I/O, not O(seen) — the
-        # claimed df is checkpointed, so this collect is a bounded scan of
-        # materialized rows, and only bucket ids reach the driver).  The
-        # fetcher is pluggable behind one contract (plans/fetch.py):
+        # the fetch.  Strategy switch like the publish dedup: below
+        # bloom_min_seen the seen table is broadcast-sized — one small scan,
+        # shared with the publish path.  Past it, claimed ≤ claim_limit rows
+        # → read ONLY their seen buckets (O(claim) I/O, not O(seen); the
+        # claimed df is checkpointed, so the footprint collect is a bounded
+        # scan of materialized rows, and only bucket ids reach the driver).
+        # The fetcher is pluggable behind one contract (plans/fetch.py):
         # TableFetcher joins the synthetic web (tests/bench), HttpFetcher
         # does real paced GETs inside applyInPandas — the route chain below
         # is driven purely by the returned status, so both paths exercise
         # the identical downstream plan (crawler.go:84-109 status routing).
-        claim_sb = sorted(
-            int(r["sb"])
-            for r in claimed.select(seen_bucket_of(claimed).alias("sb"))
-            .distinct()
-            .collect()
-        )
-        seen_cl = expire_seen(
-            self.catalog.read_buckets("seen", claim_sb, S.SEEN_SCHEMA),
-            b,
-            self.ttl_batches,
-        )
+        seen_small = None
+        if prune_seen:
+            claim_sb = sorted(
+                int(r["sb"])
+                for r in claimed.select(seen_bucket_of(claimed).alias("sb"))
+                .distinct()
+                .collect()
+            )
+            seen_cl = expire_seen(
+                self.catalog.read_buckets("seen", claim_sb, S.SEEN_SCHEMA),
+                b,
+                self.ttl_batches,
+            )
+        else:
+            seen_small = expire_seen(
+                self.catalog.read("seen", S.SEEN_SCHEMA), b, self.ttl_batches
+            )
+            seen_cl = seen_small
         state_lkp = seen_cl.select("url_canon", F.col("state").alias("crawl_count"))
+        # NB: transformation chains here are batched into few select() calls —
+        # every withColumn re-analyzes the whole growing plan through py4j,
+        # and at the BFS floor that driver-side chatter is ~0.4s/batch.
         enriched = (
             claimed.join(state_lkp, "url_canon", "left")
             .fillna({"crawl_count": 0})
-            # claim-time blacklist re-check (ReadFromQueue drops blacklisted
-            # URLs already IN the queue — workflow.go:40-44 — so a
-            # blacklisted seed is acked away, never fetched)
-            .withColumn("blacklisted", u["is_blacklisted"]("url"))
-            # robots.txt disallow rules (north-rule politeness; columnar
-            # prefix predicate, no UDF) — dropped like blacklist, pre-fetch
-            .withColumn("robots_blocked", robots_disallowed_col(cfg))
+            .select(
+                "*",
+                # claim-time blacklist re-check (ReadFromQueue drops
+                # blacklisted URLs already IN the queue — workflow.go:40-44 —
+                # so a blacklisted seed is acked away, never fetched)
+                u["is_blacklisted"]("url").alias("blacklisted"),
+                # robots.txt disallow rules (north-rule politeness; columnar
+                # prefix predicate, no UDF) — dropped like blacklist, pre-fetch
+                robots_disallowed_col(cfg).alias("robots_blocked"),
+            )
         )
         fetched_raw = self.fetcher.fetch(enriched, epoch=time.time())
         if "image_id" not in fetched_raw.columns:
@@ -512,60 +568,54 @@ class DrainLoop:
         pacing_cols = [
             c for c in ("salt", "fetch_seq", "fetch_offset_s") if c in fetched_raw.columns
         ]
-        routed = (
-            fetched_raw.drop(*pacing_cols)
-            .withColumn(
-                "route",
-                # blacklist drop FIRST (ReadFromQueue runs before CrawlURL):
-                # acked away — no fetch, no dead record, no seen write
-                F.when(F.col("blacklisted"), "blacklist_drop")
-                .when(F.col("robots_blocked"), "robots_drop")
-                .when(F.col("crawl_count") > cfg.max_crawl_retries, "gate_dead")
-                .when(F.col("status").isNull(), "not_found")
-                .when(F.col("status") == 429, "requeue_429")
-                .when((F.col("status") >= 500) & (F.col("status") < 600), "requeue_5xx")
-                .when(F.col("status").isin(*REDIRECT_STATUSES), "fetch_html")
-                .when(F.col("status") >= 400, "not_found")
-                # null-safe: a 2xx with NULL/unparsable Content-Type is NOT
-                # accepted (sim: accepted_content_type(None) → False → reset;
-                # three-valued ~NULL would otherwise skip this branch)
-                .when(
-                    ~F.coalesce(
-                        ct.is_accepted_col(F.col("content_type")), F.lit(False)
-                    ),
-                    "reset",
-                )
-                .when(ct.is_html_col(F.col("content_type")), "fetch_html")
-                .otherwise("fetch_other"),
+        route_col = (
+            # blacklist drop FIRST (ReadFromQueue runs before CrawlURL):
+            # acked away — no fetch, no dead record, no seen write
+            F.when(F.col("blacklisted"), "blacklist_drop")
+            .when(F.col("robots_blocked"), "robots_drop")
+            .when(F.col("crawl_count") > cfg.max_crawl_retries, "gate_dead")
+            .when(F.col("status").isNull(), "not_found")
+            .when(F.col("status") == 429, "requeue_429")
+            .when((F.col("status") >= 500) & (F.col("status") < 600), "requeue_5xx")
+            .when(F.col("status").isin(*REDIRECT_STATUSES), "fetch_html")
+            .when(F.col("status") >= 400, "not_found")
+            # null-safe: a 2xx with NULL/unparsable Content-Type is NOT
+            # accepted (sim: accepted_content_type(None) → False → reset;
+            # three-valued ~NULL would otherwise skip this branch)
+            .when(
+                ~F.coalesce(ct.is_accepted_col(F.col("content_type")), F.lit(False)),
+                "reset",
             )
-            .withColumn(
-                "body",
-                F.when(
-                    F.col("status").isin(*REDIRECT_STATUSES),
-                    F.concat(F.lit('<a href="'), F.col("redirect_to"), F.lit('">moved</a>')),
-                ).otherwise(F.col("body_html")),
-            )
-            .withColumn(
-                "eff_content_type",
-                F.when(F.col("status").isin(*REDIRECT_STATUSES), F.lit(ct.HTML)).otherwise(
-                    F.col("content_type")
-                ),
-            )
-            # Single materialization pass: every vectorized UDF (extraction,
-            # mirror path, param gate) runs here, in ONE scan over the fetch
-            # results, and the bulky body columns are dropped BEFORE the
-            # checkpoint — the checkpointed batch carries outlink arrays, not
-            # page bodies.  (Fusing extraction into the routed pass instead of
-            # a second checkpoint halved bulk-drain wall time.)
-            .withColumn(
-                "ex",
-                self.extract_udf(
-                    F.when(F.col("route") == "fetch_html", F.col("body")), F.col("url")
-                ),
-            )
-            .withColumn("rel_path", u["rel_file_path"]("url", "eff_content_type"))
-            .withColumn("has_params", u["has_params"]("url"))
-            .withColumn("mime", ct.mime_col(F.col("eff_content_type")))
+            .when(ct.is_html_col(F.col("content_type")), "fetch_html")
+            .otherwise("fetch_other")
+        )
+        body_col = F.when(
+            F.col("status").isin(*REDIRECT_STATUSES),
+            F.concat(F.lit('<a href="'), F.col("redirect_to"), F.lit('">moved</a>')),
+        ).otherwise(F.col("body_html"))
+        eff_ct_col = F.when(
+            F.col("status").isin(*REDIRECT_STATUSES), F.lit(ct.HTML)
+        ).otherwise(F.col("content_type"))
+        routed = fetched_raw.drop(*pacing_cols).select(
+            "*",
+            route_col.alias("route"),
+            body_col.alias("body"),
+            eff_ct_col.alias("eff_content_type"),
+        )
+        # Single materialization pass: every vectorized UDF (extraction,
+        # mirror path, param gate) runs here, in ONE scan over the fetch
+        # results, and the bulky body columns are dropped BEFORE the
+        # checkpoint — the checkpointed batch carries outlink arrays, not
+        # page bodies.  (Fusing extraction into the routed pass instead of
+        # a second checkpoint halved bulk-drain wall time.)
+        routed = routed.select(
+            "*",
+            self.extract_udf(
+                F.when(F.col("route") == "fetch_html", F.col("body")), F.col("url")
+            ).alias("ex"),
+            u["rel_file_path"]("url", "eff_content_type").alias("rel_path"),
+            u["has_params"]("url").alias("has_params"),
+            ct.mime_col(F.col("eff_content_type")).alias("mime"),
         )
         if self.mirror_root:
             from govuk_crawler_worker_spark.plans.mirror import make_body_writer
@@ -579,70 +629,28 @@ class DrainLoop:
             # persist() here (measured ~20% on the BFS floor: every one of
             # the six consumers pays InMemoryRelation scan setup, while a
             # checkpoint is a plain local RDD) and guarantees a
-            # side-effecting fetcher (HTTP) can never re-fetch.
-            .localCheckpoint(eager=True)
+            # side-effecting fetcher (HTTP) can never re-fetch.  LAZY
+            # (eager=False): the first action — the combined stats collect
+            # below, or the bloom probe's candidate checkpoint — materializes
+            # it, so no dedicated checkpoint job pays the ~0.2s fixed job
+            # round trip of this host.  Every later consumer reads the
+            # checkpointed partitions.
+            .localCheckpoint(eager=False)
         )
 
-        # ONE aggregation job covers all per-route stats PLUS every bucket
-        # footprint the commit needs (frontier deletes/requeues per bucket,
-        # claim-delta seen buckets, per-priority-bucket claim counts): the
-        # extra grouping keys let the commit skip both its touched-bucket
-        # discovery job and appends that would write empty tables.  Collected
-        # rows are bounded by the distinct (route, bucket, bucket) combos —
-        # a few thousand ints at worst, never row data.
-        rc = routed.groupBy(
-            "route",
-            F.coalesce(F.col("ex.error"), F.lit(False)).alias("exerr"),
-            F.coalesce(F.col("has_params"), F.lit(True)).alias("hp"),
-            seen_bucket_of(routed).alias("sb"),
-            frontier_bucket_of(routed).alias("fb"),
-        ).count().collect()
-        route_counts: dict[str, int] = {}
-        n_extract_err = n_fetch_rows = 0
-        claimed_pb: dict[int, int] = {}
-        requeued_pb: dict[int, int] = {}
-        delete_fb: set[int] = set()
-        claim_delta_sb: set[int] = set()
-        for r in rc:
-            route_counts[r["route"]] = route_counts.get(r["route"], 0) + r["count"]
-            if r["route"] == "fetch_html" and r["exerr"]:
-                n_extract_err += r["count"]
-            if r["route"] in ("fetch_html", "fetch_other") and not r["hp"]:
-                n_fetch_rows += r["count"]
-            fb = int(r["fb"])
-            pb = fb // FRONTIER_HOST_BUCKETS
-            delete_fb.add(fb)
-            claimed_pb[pb] = claimed_pb.get(pb, 0) + r["count"]
-            if r["route"] in ("requeue_429", "requeue_5xx"):
-                # a requeue keeps its priority and host → same frontier bucket
-                requeued_pb[pb] = requeued_pb.get(pb, 0) + r["count"]
-            if r["route"] in ("requeue_5xx", "reset"):
-                claim_delta_sb.add(int(r["sb"]))
-        stats.claimed = sum(route_counts.values())
-        stats.requeued = route_counts.get("requeue_429", 0) + route_counts.get(
-            "requeue_5xx", 0
-        )
-        stats.dead = route_counts.get("gate_dead", 0) + route_counts.get("not_found", 0)
-        stats.fetched = route_counts.get("fetch_html", 0) + route_counts.get(
-            "fetch_other", 0
-        )
         stats.stage_ms["crawl_url"] = (time.monotonic() - stage_t) * 1000
         stage_t = time.monotonic()
 
         # ---- A3: mirror sink (fetched) --------------------------------------
         fetch_rows = routed.where(F.col("route").isin("fetch_html", "fetch_other"))
-        fetched_new = (
-            fetch_rows.where(~F.col("has_params"))
-            .withColumn("batch_id", F.lit(b).cast("long"))
-            .select(
-                "url",
-                "url_canon",
-                "host",
-                "batch_id",
-                F.col("mime").alias("content_type"),
-                "rel_path",
-                "image_id",
-            )
+        fetched_new = fetch_rows.where(~F.col("has_params")).select(
+            "url",
+            "url_canon",
+            "host",
+            F.lit(b).cast("long").alias("batch_id"),
+            F.col("mime").alias("content_type"),
+            "rel_path",
+            "image_id",
         )
         if self.payload is not None:
             fetched_new = fetched_new.join(self.payload, "image_id", "left")
@@ -738,7 +746,7 @@ class DrainLoop:
             nb, k = bloom_meta["n_bits"], bloom_meta["k"]
             cands = bloom_probe_join(
                 cands, probe_view, "url_hash", BLOOM_SEGMENTS, nb, k
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)  # materialized by the bucket collect
             # bloom-negative → certainly new (no false negatives: the filter
             # covers every committed seen row): skip the join entirely
             certainly_new = cands.where(~F.col("maybe_seen")).drop("maybe_seen")
@@ -746,11 +754,9 @@ class DrainLoop:
             confirmed_new = self._anti_join_seen_bucketed(maybe, b, claim_delta)
             new_urls = certainly_new.unionByName(confirmed_new)
         elif seen_size < self.bloom_min_seen:
-            seen_all = expire_seen(
-                self.catalog.read("seen", S.SEEN_SCHEMA), b, self.ttl_batches
-            )
+            # seen_small: the same broadcast-sized scan the claim gate used
             enqueued_seen = (
-                seen_merge(seen_all, claim_delta)
+                seen_merge(seen_small, claim_delta)
                 .where(F.col("state") >= S.STATE_ENQUEUED)
                 .select("url_canon")
             )
@@ -763,34 +769,102 @@ class DrainLoop:
                 )
         else:
             # bloom disabled but the seen table is past broadcast size:
-            # materialize the candidates, then bucket-wise exact anti-join
-            cands = cands.localCheckpoint(eager=True)
+            # materialize the candidates (via the bucket collect), then
+            # bucket-wise exact anti-join
+            cands = cands.localCheckpoint(eager=False)
             new_urls = self._anti_join_seen_bucketed(cands, b, claim_delta)
 
         inserts = (
-            new_urls.withColumn("host", u["host"]("url"))
-            .withColumn("priority", F.lit(0))  # published priority 0 (queue_connection.go:129)
-            .withColumn("priority_bucket", priority_bucket_col(F.col("priority")))
-            .withColumn("attempt_count", F.lit(0))
-            .withColumn("not_before_batch", F.lit(b + 1).cast("long"))
-            .withColumn("enqueued_batch", F.lit(b).cast("long"))
-            .select([f.name for f in S.FRONTIER_SCHEMA.fields])
-            .localCheckpoint(eager=True)
+            new_urls.select(
+                "url",
+                "url_canon",
+                "url_hash",
+                u["host"]("url").alias("host"),
+                # published priority 0 (queue_connection.go:129); its clamped
+                # priority bucket is the constant 0
+                F.lit(0).alias("priority"),
+                F.lit(0).cast("int").alias("priority_bucket"),
+                F.lit(0).alias("attempt_count"),
+                F.lit(b + 1).cast("long").alias("not_before_batch"),
+                F.lit(b).cast("long").alias("enqueued_batch"),
+                "lineage",
+            )
+            # lazy like routed: the combined collect below materializes it
+            .localCheckpoint(eager=False)
         )
-        # bounded aggregate — the published count AND the inserts' bucket
-        # footprints for both state tables in one job; no row data ever
-        # reaches the driver (≤ SEEN_BUCKETS × frontier-bucket combos)
-        ins_rows = (
+        # ONE bounded aggregation job covers all per-route stats, every
+        # bucket footprint the commit needs (frontier deletes/requeues per
+        # bucket, claim-delta seen buckets, per-priority-bucket claim
+        # counts) AND the published inserts' counts+footprints — two collect
+        # jobs fused into one driver round trip (the BFS floor is fixed
+        # per-job latency, ~0.1-0.3 s each on this host).  Collected rows
+        # are bounded by the distinct (route, bucket, bucket) combos — a few
+        # thousand ints at worst, never row data.  Both inputs are
+        # checkpointed, so this re-scans materialized rows only.
+        rc_agg = routed.groupBy(
+            "route",
+            F.coalesce(F.col("ex.error"), F.lit(False)).alias("exerr"),
+            F.coalesce(F.col("has_params"), F.lit(True)).alias("hp"),
+            seen_bucket_of(routed).alias("sb"),
+            frontier_bucket_of(routed).alias("fb"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+        ins_agg = (
             inserts.groupBy(
                 seen_bucket_of(inserts).alias("sb"),
                 frontier_bucket_of(inserts).alias("fb"),
             )
             .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            .select(
+                F.lit(None).cast("string").alias("route"),
+                F.lit(False).alias("exerr"),
+                F.lit(False).alias("hp"),
+                "sb",
+                "fb",
+                "n",
+            )
         )
-        stats.published = sum(int(r["n"]) for r in ins_rows)
-        insert_sb = {int(r["sb"]) for r in ins_rows}
-        insert_fb = {int(r["fb"]) for r in ins_rows}
+        counts = rc_agg.withColumn("tag", F.lit("r")).unionByName(
+            ins_agg.withColumn("tag", F.lit("i"))
+        ).collect()
+
+        route_counts: dict[str, int] = {}
+        n_extract_err = n_fetch_rows = 0
+        claimed_pb: dict[int, int] = {}
+        requeued_pb: dict[int, int] = {}
+        delete_fb: set[int] = set()
+        claim_delta_sb: set[int] = set()
+        insert_sb: set[int] = set()
+        insert_fb: set[int] = set()
+        stats.published = 0
+        for r in counts:
+            n = int(r["n"])
+            if r["tag"] == "i":
+                stats.published += n
+                insert_sb.add(int(r["sb"]))
+                insert_fb.add(int(r["fb"]))
+                continue
+            route_counts[r["route"]] = route_counts.get(r["route"], 0) + n
+            if r["route"] == "fetch_html" and r["exerr"]:
+                n_extract_err += n
+            if r["route"] in ("fetch_html", "fetch_other") and not r["hp"]:
+                n_fetch_rows += n
+            fb = int(r["fb"])
+            pb = fb // FRONTIER_HOST_BUCKETS
+            delete_fb.add(fb)
+            claimed_pb[pb] = claimed_pb.get(pb, 0) + n
+            if r["route"] in ("requeue_429", "requeue_5xx"):
+                # a requeue keeps its priority and host → same frontier bucket
+                requeued_pb[pb] = requeued_pb.get(pb, 0) + n
+            if r["route"] in ("requeue_5xx", "reset"):
+                claim_delta_sb.add(int(r["sb"]))
+        stats.claimed = sum(route_counts.values())
+        stats.requeued = route_counts.get("requeue_429", 0) + route_counts.get(
+            "requeue_5xx", 0
+        )
+        stats.dead = route_counts.get("gate_dead", 0) + route_counts.get("not_found", 0)
+        stats.fetched = route_counts.get("fetch_html", 0) + route_counts.get(
+            "fetch_other", 0
+        )
         stats.stage_ms["publish_urls"] = (time.monotonic() - stage_t) * 1000
         stage_t = time.monotonic()
 
@@ -819,19 +893,22 @@ class DrainLoop:
             F.lit(b).cast("long").alias("batch_id"),
         ).unionByName(extract_dead)
 
-        requeues = (
-            routed.where(F.col("route").isin("requeue_429", "requeue_5xx"))
-            .withColumn("attempt_count", F.col("attempt_count") + 1)
-            .withColumn(
-                "not_before_batch",
-                F.when(
-                    F.col("route") == "requeue_429",
-                    F.lit(b + self.backoff_batches),
-                )
-                .otherwise(F.lit(b + 1))
-                .cast("long"),
-            )
-            .select([f.name for f in S.FRONTIER_SCHEMA.fields])
+        requeues = routed.where(
+            F.col("route").isin("requeue_429", "requeue_5xx")
+        ).select(
+            "url",
+            "url_canon",
+            "url_hash",
+            "host",
+            "priority",
+            "priority_bucket",
+            (F.col("attempt_count") + 1).cast("int").alias("attempt_count"),
+            F.when(F.col("route") == "requeue_429", F.lit(b + self.backoff_batches))
+            .otherwise(F.lit(b + 1))
+            .cast("long")
+            .alias("not_before_batch"),
+            "enqueued_batch",
+            "lineage",
         )
 
         # frontier becomes a bucketed merge: deletes = every claimed row
@@ -941,6 +1018,8 @@ class DrainLoop:
         self.catalog.commit(appends=appends, merges=merges, meta=new_meta)
         stats.frontier_size = new_meta["frontier_size"]
         stats.duration_s = time.monotonic() - t0
+        self.spark.conf.set("spark.sql.adaptive.enabled", self._aqe0)
+        self.spark.conf.set("spark.sql.codegen.wholeStage", self._codegen0)
         return stats
 
     # -- maintenance ------------------------------------------------------------
@@ -1001,9 +1080,11 @@ class DrainLoop:
         try:
             return self._drain(b, end, out, progress)
         finally:
-            # restore the session's configured shuffle width (run_batch sizes
-            # it to each wave) and flush any buffered metrics
+            # restore the session's configured shuffle width + AQE (run_batch
+            # sizes both to each wave) and flush any buffered metrics
             self.spark.conf.set("spark.sql.shuffle.partitions", str(self._shuffle0))
+            self.spark.conf.set("spark.sql.adaptive.enabled", self._aqe0)
+            self.spark.conf.set("spark.sql.codegen.wholeStage", self._codegen0)
             self.flush_metrics()
 
     def _drain(self, b, end, out, progress):
