@@ -374,7 +374,10 @@ def _simhash_banding_complete(spark, sf):
         simhash_candidates,
     )
 
-    sig = simhash64(_t(spark, sf, "documents"))
+    # persist: the signature table feeds the banded candidates AND both
+    # sides of the exhaustive self-join — 3 recomputes of the Arrow
+    # aggregation otherwise
+    sig = simhash64(_t(spark, sf, "documents")).persist()
     cand = simhash_candidates(sig, max_hamming=3).select("a", "b")
     exact = (
         sig.alias("l")

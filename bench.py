@@ -10,7 +10,11 @@ Prints ONE JSON line:
             at local[N] vs local[4N] cores on the same input, fresh JVM per
             rep, **equal rep counts at both levels in interleaved A/B order**
             so shared-host noise (±30-40% run-to-run here) cancels instead of
-            biasing one level; efficiency = (best_4N / best_N) / 4
+            biasing one level; efficiency = (best_4N / best_N) / 4.  Two
+            pairs are reported: 2→8 (both levels on dedicated physical
+            cores — the engine measurement) and 8→32 (local[8] already
+            saturates the 16 physical cores, so that pair's ceiling is the
+            hyperthread yield alone, eff ~0.30-0.33 — BENCH/BASELINE.md)
 
 Two drain shapes are measured:
   * bfs   — seed roots, drain the BFS feedback loop to empty (many small
@@ -49,11 +53,11 @@ CAP_REPS = int(os.environ.get("BENCH_CAP_REPS", "2"))
 # ~2c busy contexts during UDF stages (c JVM threads + c Python workers), so
 # 2→8 is the largest pair where BOTH levels stay on dedicated physical cores
 # — it is the pair that measures the ENGINE.  A second 8→32 pair is also
-# reported for completeness: its big level oversubscribes the 16 physical
-# cores ~4× (32 JVM + 32 Python worker contexts), so its ceiling is the
-# hyperthreading yield (~0.76-0.83 on pure-CPU kernels on this host), NOT
-# 1.0 — read it against that ceiling.  Override with BENCH_SCALE_N /
-# BENCH_SCALE2_N.
+# reported for completeness: local[8] ALREADY saturates the 16 physical
+# cores during UDF stages (8 JVM + 8 Python worker contexts), so the only
+# headroom 8→32 can exploit is the hyperthread yield (~1.2-1.3× speedup on
+# this host) — its efficiency ceiling is ~0.30-0.33, NOT 1.0.  Read it
+# against that ceiling.  Override with BENCH_SCALE_N / BENCH_SCALE2_N.
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
 SCALE_4N = SCALE_N * 4
 SCALE2_N = int(os.environ.get("BENCH_SCALE2_N", "8"))
@@ -307,11 +311,13 @@ def main() -> None:
             f"scaling_efficiency_{SCALE2_N}_to_{SCALE2_4N}": round(
                 (thr2_4n / thr2_n) / 4.0, 3
             ),
-            # 32 workers on 16 physical cores: the upper pair's ceiling is
-            # the hyperthreading yield (~0.76-0.83 pure-CPU on this host),
-            # not 1.0 — see BENCH/BASELINE.md
-            f"note_{SCALE2_N}_to_{SCALE2_4N}": "upper level oversubscribes "
-            "16 physical cores (HT ceiling ~0.76-0.83), read against that",
+            # local[8] already saturates the 16 physical cores during UDF
+            # stages (8 JVM + 8 Python worker contexts), so this pair's
+            # ceiling is the hyperthread yield ALONE: ~1.2-1.3x speedup /4
+            # => eff ceiling ~0.30-0.33, not 1.0 — see BENCH/BASELINE.md
+            f"note_{SCALE2_N}_to_{SCALE2_4N}": "local[8] already saturates "
+            "the 16 physical cores (JVM+Python contexts); ceiling for this "
+            "pair is the hyperthread yield alone, eff ~0.30-0.33",
         }
 
     print(
@@ -330,6 +336,7 @@ def main() -> None:
                     f"local{SCALE_4N}_urls_per_sec": round(thr_4n, 1),
                     f"local{CAP_CORES}_urls_per_sec": round(thr_cap, 1),
                     f"scaling_efficiency_{SCALE_N}_to_{SCALE_4N}": round(eff, 3),
+                    **scaling2,
                 },
                 "drain_bfs": {
                     "pages": BFS_PAGES,

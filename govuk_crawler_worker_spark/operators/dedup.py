@@ -417,8 +417,12 @@ def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3, n_blocks: int = 6, **kw
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ h: sub-quadratic pigeonhole
-    banding (see ``simhash_candidates``) + exact popcount verify."""
-    sig = simhash64(docs, **kw)
+    banding (see ``simhash_candidates``) + exact popcount verify.
+
+    The signature table feeds BOTH sides of the candidate self-join, so
+    without persistence the (Arrow-aggregated) simhash64 pass runs twice —
+    persist it: one row of (id, long) per doc, trivially cached."""
+    sig = simhash64(docs, **kw).persist()
     cand = simhash_candidates(sig, max_hamming=max_hamming, n_blocks=n_blocks)
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))

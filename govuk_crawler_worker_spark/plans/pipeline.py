@@ -1104,6 +1104,11 @@ class DrainLoop:
                 # bound the (over-count-only) frontier meta drift on long
                 # crawls — one bounded groupBy job every 256 batches
                 self.reconcile_frontier()
+            if (b + 1) % 64 == 0:
+                # reclaim unreachable snapshot files (Iceberg's
+                # expire_snapshots): long drains must not grow disk per
+                # batch; driver-side file ops only, resume unaffected
+                self.catalog.expire_snapshots(keep_last=8)
             if stats.claimed == 0:
                 # nothing claimed despite a non-empty frontier: either every
                 # row is backed off past b, or (with politeness on) the salted
