@@ -123,6 +123,47 @@ class TestPolitenessStarvation:
         assert fetched_key(engine) == fetched_key(sim.fetched)
 
 
+class TestStreamingStarvation:
+    def test_streaming_tick_rotates_past_starved_salts(self, spark):
+        """Same scenario as TestPolitenessStarvation but driven by the
+        Structured Streaming front-end: every tick's run_batch commits
+        next_batch = b+1 even when the salted budget claims zero rows, so
+        the rotating salt remainder reaches the starved URLs — no tick may
+        stall the clock."""
+        from govuk_crawler_worker_spark.streaming.drain import StreamingDrain
+
+        cfg = CrawlConfig(
+            default_crawl_delay_s=30.0,
+            batch_period_s=30.0,
+            host_salt_buckets=8,
+            claim_limit=100,
+        )
+        urls = []
+        i = 0
+        while len(urls) < 3:
+            u = f"https://www.gov.uk/sstarve{i}"
+            if zlib.crc32(canonicalize(u).encode()) % 8 != 0:
+                urls.append(u)
+            i += 1
+        content = pd.DataFrame([_content_row(u) for u in urls])
+        seeds = pd.DataFrame({"url": urls, "priority": 0})
+        sim = simulate(content, seeds, cfg)
+        assert len(sim.fetched) == 3
+
+        catalog, loop = _mk_loop(
+            spark, content, seeds, cfg, tempfile.mkdtemp(prefix="sstarve_")
+        )
+        sd = StreamingDrain(loop, ticks_per_second=5.0)
+        query = sd.start(spark)
+        try:
+            sd.process_available(timeout_s=180.0)
+        finally:
+            sd.stop()
+            query.awaitTermination(10)
+        engine = catalog.read("fetched").collect()
+        assert fetched_key(engine) == fetched_key(sim.fetched)
+
+
 class TestBucketedPublishDedup:
     def test_no_broadcast_of_seen_past_threshold(self, spark):
         """Past bloom_min_seen the publish anti-join must NOT force-broadcast
