@@ -8,13 +8,15 @@ payload rows).
 training-data-pipeline operators (dedup family, similarity search, text
 analysis), each runnable on the driver's parquet tables at any sf dir.
 
-``oracle_sql()``   — matching ANSI SQL for DuckDB cross-checks.  28 of 33
+``oracle_sql()``   — matching ANSI SQL for DuckDB cross-checks.  29 of 34
 queries are value-checked, including a FULL value oracle for MinHash-LSH
 (band parameters make recall provably 1.0 on this data, so LSH output equals
 the exhaustive shingle-jaccard pair set), driver-checked recall floors for
 BOTH ANN paths (sign-LSH and IVF), and a driver-checked completeness proof
 for the simhash Manku banding (pigeonhole ⇒ zero missed pairs vs the
-exhaustive hamming self-join).  The 5 rows-only entries (raw simhash pairs,
+exhaustive hamming self-join), and an analytic truth-table oracle for the
+audio features (REAL RIFF/WAVE PCM codec; sine clips with known RMS/ZCR/
+duration).  The 5 rows-only entries (raw simhash pairs,
 raw LSH/IVF ANN top-k, polynomial fingerprint, image features) are genuinely
 engine-hash/quantizer-dependent or non-SQL-expressible; each carries a
 pytest — and for simhash/ANN a value-checked property query here — pinning
@@ -438,6 +440,49 @@ def _image_features(spark, sf):
     return image_features(payload).orderBy("image_id")
 
 
+def _audio_features_sanity(spark, sf):
+    """Audio member of the multimodal family — REAL RIFF/WAVE PCM codec
+    (sources/audio.py), features via mapInPandas.  Value-checked property
+    oracle: deterministic sine clips have analytically-known RMS (amp/√2),
+    zero-crossing rate (2f/rate) and duration, so the booleans are a
+    constant truth table DuckDB can state."""
+    import math
+
+    import pandas as pd
+
+    from govuk_crawler_worker_spark.operators.audio import audio_features
+    from govuk_crawler_worker_spark.sources.audio import encode_wav, make_sine
+
+    rate, dur = 8000, 0.5
+    rows = []
+    for i in range(8):
+        f_hz, amp = 100.0 * (i + 1), 0.05 * (i + 1)
+        rows.append(
+            {
+                "clip_id": f"clip-{i}",
+                "bytes": encode_wav(make_sine(f_hz, amp, rate, dur), rate),
+                "freq": f_hz,
+                "amp": amp,
+            }
+        )
+    clips = spark.createDataFrame(
+        pd.DataFrame(rows), "clip_id string, bytes binary, freq double, amp double"
+    )
+    feats = audio_features(clips).join(
+        clips.select("clip_id", "freq", "amp"), "clip_id"
+    )
+
+    def rel(a, b):
+        return F.abs(a - b) / b
+
+    return feats.select(
+        "clip_id",
+        (rel(F.col("rms"), F.col("amp") / math.sqrt(2.0)) < 0.01).alias("rms_ok"),
+        (rel(F.col("zcr"), 2.0 * F.col("freq") / rate) < 0.05).alias("zcr_ok"),
+        (F.col("duration_s") == dur).alias("duration_ok"),
+    ).orderBy("clip_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "claim_topk": _claim_topk,
@@ -473,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _sessionize,
         "curate_corpus": _curate_corpus,
         "image_features": _image_features,
+        "audio_features_sanity": _audio_features_sanity,
     }
 
 
@@ -639,6 +685,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_banding_complete": """
             SELECT CAST(0 AS BIGINT) AS n_missed, true AS banding_complete
+        """,
+        "audio_features_sanity": """
+            SELECT 'clip-' || CAST(r AS VARCHAR) AS clip_id,
+                   true AS rms_ok, true AS zcr_ok, true AS duration_ok
+            FROM range(8) t(r) ORDER BY clip_id
         """,
         "ttl_semantics": """
             WITH seen AS (
