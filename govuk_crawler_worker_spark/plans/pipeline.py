@@ -797,10 +797,16 @@ class DrainLoop:
         # bucket, claim-delta seen buckets, per-priority-bucket claim
         # counts) AND the published inserts' counts+footprints — two collect
         # jobs fused into one driver round trip (the BFS floor is fixed
-        # per-job latency, ~0.1-0.3 s each on this host).  Collected rows
-        # are bounded by the distinct (route, bucket, bucket) combos — a few
-        # thousand ints at worst, never row data.  Both inputs are
-        # checkpointed, so this re-scans materialized rows only.
+        # per-job latency, ~0.1-0.3 s each on this host).  The collect is
+        # bounded by min(batch rows, routes × sb_buckets × fb_buckets)
+        # combos of ints — a few thousand at the sandbox bucket counts,
+        # never row data.  Sizing note for a deployment with O(1000)-bucket
+        # tables and 10^6-row claims: every footprint consumed below is a
+        # MARGINAL (per-route sb, per-route fb — the sb×fb pairing is never
+        # used), so this aggregate can be split into tagged marginal
+        # groupBys in the same union job, capping the collect at
+        # O(routes × buckets) for ~4 extra map-side stages.  Both inputs
+        # are checkpointed, so this re-scans materialized rows only.
         rc_agg = routed.groupBy(
             "route",
             F.coalesce(F.col("ex.error"), F.lit(False)).alias("exerr"),
