@@ -48,6 +48,10 @@ class StreamingDrain:
         if n == 0:
             return
         stats = self.loop.run_batch(b, eligible_hint=n)
+        if (b + 1) % 64 == 0:
+            # same periodic maintenance the batch drain runs: long streaming
+            # crawls must not grow disk per tick
+            self.loop.catalog.expire_snapshots(keep_last=8)
         if stats.claimed == 0:
             # everything backed off: jump the clock like DrainLoop._drain
             min_nb = (
@@ -101,3 +105,5 @@ class StreamingDrain:
         if self._query is not None:
             self._query.stop()
             self._query = None
+        # drain-exit parity: append any buffered metrics rows
+        self.loop.flush_metrics()
