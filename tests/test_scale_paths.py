@@ -360,8 +360,6 @@ class TestBloomRebuild:
         """Empty some seen buckets (compaction), force a geometry rebuild:
         the new bloom table must contain ONLY segments with current seen
         rows, every bitmap decodable under the NEW geometry."""
-        import numpy as np
-
         from govuk_crawler_worker_spark.operators.seen import BloomFilter
         from govuk_crawler_worker_spark.plans.pipeline import seen_bucket_of
 
