@@ -55,6 +55,30 @@ class TestWavCodec:
         assert abs(np.sqrt((out**2).mean()) / np.sqrt((sig**2).mean()) - 1) < 0.02
 
 
+class TestWavCodecProperties:
+    def test_round_trip_any_shape(self):
+        """Property: every (n_samples, channels, rate) combination of int16
+        audio survives encode→decode bit-exactly."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            n=st.integers(min_value=1, max_value=400),
+            ch=st.integers(min_value=1, max_value=4),
+            rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+            seed=st.integers(min_value=0, max_value=2**31 - 1),
+        )
+        def check(n, ch, rate, seed):
+            rng = np.random.default_rng(seed)
+            raw = rng.integers(-32768, 32767, size=(n, ch), dtype=np.int16)
+            out, r2 = decode_wav(encode_wav(raw, rate))
+            assert r2 == rate and out.shape == (n, ch)
+            assert np.array_equal((out * 32767.0).round().astype(np.int16), raw)
+
+        check()
+
+
 def _clips_df(spark, n=4, rate=8000, dur=0.5):
     rows = [
         {

@@ -355,6 +355,32 @@ class TestPriorityBucketPruning:
         assert sum("/hi" in r["url"] for r in engine) == 8
 
 
+class TestLegacyCatalogMeta:
+    def test_drain_without_count_meta_falls_back_and_completes(self, spark):
+        """A catalog written by an older engine (no frontier_size /
+        frontier_pb_counts in meta) must still drain: the loop counts once,
+        pruning stays off, and the meta-maintenance arithmetic is skipped —
+        end state equals the simulator."""
+        urls = [f"https://www.gov.uk/legacy{i}" for i in range(6)]
+        content = pd.DataFrame([_content_row(u) for u in urls])
+        seeds = pd.DataFrame({"url": urls, "priority": 0})
+        cfg = CrawlConfig(claim_limit=4)
+        catalog, loop = _mk_loop(
+            spark, content, seeds, cfg, tempfile.mkdtemp(prefix="legacy_")
+        )
+        # strip the r3 meta fields, as a legacy writer would have
+        meta = dict(catalog.latest()["meta"])
+        meta.pop("frontier_size", None)
+        meta.pop("frontier_pb_counts", None)
+        catalog.commit(meta=meta)
+
+        sim = simulate(content, seeds, cfg)
+        loop.drain(max_batches=20)
+        engine = catalog.read("fetched").collect()
+        assert fetched_key(engine) == fetched_key(sim.fetched)
+        assert len(engine) == 6
+
+
 class TestBloomRebuild:
     def test_rebuild_drops_stale_segments(self, spark):
         """Empty some seen buckets (compaction), force a geometry rebuild:
