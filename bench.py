@@ -62,7 +62,9 @@ SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
 SCALE_4N = SCALE_N * 4
 SCALE2_N = int(os.environ.get("BENCH_SCALE2_N", "8"))
 SCALE2_4N = SCALE2_N * 4
-REPS2 = int(os.environ.get("BENCH_REPS2", "2"))
+# the report-only upper pair gets 1 rep by default (its small level shares
+# the engine pair's reps; one 4N rep bounds total bench wall time)
+REPS2 = int(os.environ.get("BENCH_REPS2", "1"))
 
 
 def make_spark(cores: int, aqe: bool = True):
