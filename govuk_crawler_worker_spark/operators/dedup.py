@@ -298,6 +298,83 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b", max_iters: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair set — the step that
+    turns near-dup PAIRS into duplicate CLUSTERS (keeper selection needs
+    the component, not the pairs; the reference's only dedup is per-URL, so
+    this is LLM-pipeline surface).  Returns (node, cluster_id) where
+    cluster_id = min node id in the component — one row per node that
+    appears in an edge.
+
+    Algorithm: min-label propagation — each round every node takes the min
+    label over itself and its neighbors (one join + one groupBy(node).min
+    shuffle per round), iterated to fixpoint.  Converges in O(component
+    diameter) rounds; near-dup clusters are dense and tiny-diameter, so a
+    handful of rounds suffice at any corpus size.  Per-round state is
+    localCheckpointed (constant-depth lineage); the only driver data is the
+    per-round converged? count.  (For adversarially long path-shaped graphs
+    swap in the large-star/small-star contraction — same per-round shuffle
+    shape, O(log n) rounds.)"""
+    e = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        neighbor = e.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    **kw,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs → duplicate clusters with keeper + size:
+    (doc_id, cluster_id = min doc_id in the component, cluster_size).
+    Built on the FULL-value-oracled pair set, so the clustering itself is
+    SQL-checkable (recursive CTE over the same pairs)."""
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=num_perm, bands=bands, jaccard_threshold=jaccard_threshold, **kw
+    )
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        F.col("node").alias("doc_id"), "cluster_id", "cluster_size"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -251,6 +251,36 @@ class TestEmbeddingSkewPath:
         assert len(found) == 31, len(found)
 
 
+class TestConnectedComponents:
+    def test_label_propagation_components(self, spark):
+        """Chain + triangle + isolated pair → three components labeled by
+        their min node, every edge endpoint present exactly once."""
+        import pandas as pd
+
+        from govuk_crawler_worker_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            pd.DataFrame(
+                # chain 1-2-3-4 (path: exercises multi-round propagation),
+                # triangle 10-11-12, pair 20-21
+                [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+                columns=["a", "b"],
+            ),
+            "a long, b long",
+        )
+        cc = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+        assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_dedup_clusters_sizes(self, spark):
+        from govuk_crawler_worker_spark.operators.dedup import dedup_clusters
+
+        out = dedup_clusters(_corpus(spark), jaccard_threshold=0.5).collect()
+        assert out  # the planted near-dup corpus forms at least one cluster
+        for r in out:
+            assert r["cluster_id"] <= r["doc_id"]
+            assert r["cluster_size"] >= 2  # every clustered doc has a partner
+
+
 class TestIVF:
     def test_ivf_recall_and_list_sharding(self, spark):
         from pyspark.sql import functions as F
