@@ -8,7 +8,7 @@ payload rows).
 training-data-pipeline operators (dedup family, similarity search, text
 analysis), each runnable on the driver's parquet tables at any sf dir.
 
-``oracle_sql()``   — matching ANSI SQL for DuckDB cross-checks.  30 of 35
+``oracle_sql()``   — matching ANSI SQL for DuckDB cross-checks.  31 of 36
 queries are value-checked, including a FULL value oracle for MinHash-LSH
 (band parameters make recall provably 1.0 on this data, so LSH output equals
 the exhaustive shingle-jaccard pair set), duplicate-CLUSTER formation over
@@ -258,6 +258,17 @@ def _dedup_clusters(spark, sf):
     return dedup_clusters(
         _t(spark, sf, "documents"), num_perm=32, bands=16, jaccard_threshold=0.5
     )
+
+
+def _drop_near_dups(spark, sf):
+    """Corpus curation end-state: documents minus near-dup non-keepers (one
+    representative per cluster).  Value-oracled by composing the cluster
+    recursive CTE with an anti-join."""
+    from govuk_crawler_worker_spark.operators.dedup import drop_near_dups
+
+    return drop_near_dups(
+        _t(spark, sf, "documents"), num_perm=32, bands=16, jaccard_threshold=0.5
+    ).select("doc_id", "source")
 
 
 def _dedup_simhash(spark, sf):
@@ -518,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_words": _dedup_jaccard_words,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_clusters": _dedup_clusters,
+        "drop_near_dups": _drop_near_dups,
         "dedup_simhash": _dedup_simhash,
         "embedding_near_dups": _embedding_near_dups,
         "cosine_topk": _cosine_topk,
@@ -729,6 +741,45 @@ def oracle_sql() -> dict[str, str]:
             szs AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
             SELECT cc.node AS doc_id, cc.cluster_id, szs.cluster_size
             FROM cc JOIN szs USING (cluster_id)
+        """,
+        "drop_near_dups": """
+            WITH RECURSIVE sh0 AS (
+              SELECT doc_id,
+                     unnest(list_distinct([
+                       string_split(text,' ')[i] || ' ' ||
+                       string_split(text,' ')[i+1] || ' ' ||
+                       string_split(text,' ')[i+2]
+                       for i in range(1, greatest(len(string_split(text,' '))-2,0)+1)
+                     ])) AS shingle
+              FROM documents
+            ),
+            hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000),
+            sh AS (SELECT s.doc_id, s.shingle FROM sh0 s ANTI JOIN hot h USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE round(CAST(i AS DOUBLE)/(sa.n+sb.n-i), 4) >= 0.5
+            ),
+            edges AS (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION SELECT b, a FROM pairs
+            ),
+            reach(node, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+            losers AS (SELECT node AS doc_id FROM cc WHERE node != cluster_id)
+            SELECT d.doc_id, d.source
+            FROM documents d ANTI JOIN losers l USING (doc_id)
         """,
         "ann_recall_floor": """
             SELECT DISTINCT vec_id AS qid, true AS recall_ok

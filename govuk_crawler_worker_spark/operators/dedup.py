@@ -375,6 +375,28 @@ def dedup_clusters(
     )
 
 
+def drop_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    **kw,
+) -> DataFrame:
+    """The point of dedup in a training pipeline: KEEP one representative
+    per near-dup cluster (min id) and drop the rest — docs LEFT ANTI the
+    non-keeper ids.  Composes pairs → clusters → curated corpus; the
+    anti-join side is one row per dropped doc (tiny vs the corpus), so the
+    corpus side never reshuffles beyond the join key."""
+    clusters = dedup_clusters(
+        docs, num_perm=num_perm, bands=bands, jaccard_threshold=jaccard_threshold, **kw
+    )
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -280,6 +280,22 @@ class TestConnectedComponents:
             assert r["cluster_id"] <= r["doc_id"]
             assert r["cluster_size"] >= 2  # every clustered doc has a partner
 
+    def test_drop_near_dups_keeps_one_per_cluster(self, spark):
+        from govuk_crawler_worker_spark.operators.dedup import (
+            dedup_clusters,
+            drop_near_dups,
+        )
+
+        docs = _corpus(spark)
+        clusters = dedup_clusters(docs, jaccard_threshold=0.5).collect()
+        kept = {r["doc_id"] for r in drop_near_dups(docs, jaccard_threshold=0.5).collect()}
+        n_docs = docs.count()
+        n_losers = sum(1 for r in clusters if r["doc_id"] != r["cluster_id"])
+        assert len(kept) == n_docs - n_losers
+        # exactly the cluster representatives survive from clustered docs
+        for r in clusters:
+            assert (r["doc_id"] in kept) == (r["doc_id"] == r["cluster_id"])
+
 
 class TestIVF:
     def test_ivf_recall_and_list_sharding(self, spark):
