@@ -299,7 +299,7 @@ def minhash_lsh_pairs(
 
 
 def connected_components(
-    edges: DataFrame, a_col: str = "a", b_col: str = "b", max_iters: int = 25
+    edges: DataFrame, a_col: str = "a", b_col: str = "b", max_iters: int = 30
 ) -> DataFrame:
     """Connected components over an undirected pair set — the step that
     turns near-dup PAIRS into duplicate CLUSTERS (keeper selection needs
@@ -308,50 +308,91 @@ def connected_components(
     cluster_id = min node id in the component — one row per node that
     appears in an edge.
 
-    Algorithm: min-label propagation — each round every node takes the min
-    label over itself and its neighbors (one join + one groupBy(node).min
-    shuffle per round), iterated to fixpoint.  Converges in O(component
-    diameter) rounds; near-dup clusters are dense and tiny-diameter, so a
-    handful of rounds suffice at any corpus size.  Per-round state is
+    Algorithm: alternating large-star/small-star contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    O(log² n)-round worst-case variant, in practice a handful of rounds:
+
+    * **large-star**: every node u re-points its STRICTLY LARGER neighbors
+      at m(u) = min(Γ(u) ∪ {u}) — one groupBy(u).min + join per round;
+    * **small-star**: every node re-points its smaller-or-equal
+      neighborhood at its min — same shuffle shape on the (hi → lo)
+      directed form.
+
+    Both steps preserve connectivity while monotonically contracting the
+    graph toward a forest of stars whose centers are the component minima
+    (the paper's invariant), so — unlike min-label propagation, which needs
+    O(component diameter) rounds and degrades on chain-shaped duplicate
+    graphs (templated pages each similar only to the next) — convergence is
+    logarithmic in component size, not diameter.  Per-round state is
     localCheckpointed (constant-depth lineage); the only driver data is the
-    per-round converged? count.  (For adversarially long path-shaped graphs
-    swap in the large-star/small-star contraction — same per-round shuffle
-    shape, O(log n) rounds.)"""
-    e = (
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    per-round (edge count, converged?) pair of scalars.  Raises
+    RuntimeError if the round cap is hit, rather than silently returning
+    unconverged labels."""
+    # canonical directed form: hi → lo, self-loops dropped
+    dir_e = (
+        edges.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+            F.least(F.col(a_col), F.col(b_col)).alias("lo"),
         )
+        .where(F.col("hi") != F.col("lo"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        e.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
-    )
+    n_edges = dir_e.count()
+    converged = n_edges == 0
     for _ in range(max_iters):
-        neighbor = e.join(
-            labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), "label")
-        new_labels = (
-            labels.unionByName(neighbor)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+        if converged:
+            break
+        # large-star: min over the full neighborhood of u (symmetrized),
+        # emitted only toward the larger neighbors (v > u ≥ m, so the
+        # (v, m) output is already in hi→lo form)
+        sym = dir_e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            dir_e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        nb_min = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        ls = (
+            sym.join(nb_min, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("hi"),
+                F.least(F.col("u"), F.col("mv")).alias("lo"),
+            )
+            .distinct()
+        )
+        # small-star: per hi, min over its smaller neighbors; every member
+        # of the group (including hi itself) re-points at that min
+        sm_min = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        with_min = ls.join(sm_min, "hi")
+        new_e = (
+            with_min.where(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(with_min.select("hi", F.col("m").alias("lo")))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        # converged ⟺ the (distinct) edge set is a fixed point: same
+        # cardinality and nothing new — two bounded-scalar jobs over
+        # checkpointed rows
+        n_new = new_e.count()
+        converged = n_new == n_edges and (
+            new_e.join(dir_e, ["hi", "lo"], "left_anti").limit(1).count() == 0
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("node", F.col("label").alias("cluster_id"))
+        dir_e, n_edges = new_e, n_new
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iters} "
+            "large-star/small-star rounds — component structure is more "
+            "adversarial than O(log^2 n) allows for this cap; raise max_iters"
+        )
+    # fixed point = forest of stars: hi → component min; centers self-label
+    return (
+        dir_e.select(F.col("hi").alias("node"), F.col("lo").alias("cluster_id"))
+        .unionByName(
+            dir_e.select(F.col("lo").alias("node"), F.col("lo").alias("cluster_id"))
+        )
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
 
 
 def dedup_clusters(
@@ -359,15 +400,26 @@ def dedup_clusters(
     num_perm: int = 32,
     bands: int = 16,
     jaccard_threshold: float = 0.5,
+    pairs: DataFrame | None = None,
     **kw,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs → duplicate clusters with keeper + size:
     (doc_id, cluster_id = min doc_id in the component, cluster_size).
     Built on the FULL-value-oracled pair set, so the clustering itself is
-    SQL-checkable (recursive CTE over the same pairs)."""
-    pairs = minhash_lsh_pairs(
-        docs, num_perm=num_perm, bands=bands, jaccard_threshold=jaccard_threshold, **kw
-    )
+    SQL-checkable (recursive CTE over the same pairs).
+
+    ``pairs`` optionally supplies a precomputed (a, b, jaccard) pair set —
+    the production composition: the LSH pair stage is the expensive one, so
+    a pipeline that wants pairs AND clusters AND the curated corpus computes
+    (and persists) it once and feeds it to all three consumers."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            docs,
+            num_perm=num_perm,
+            bands=bands,
+            jaccard_threshold=jaccard_threshold,
+            **kw,
+        )
     cc = connected_components(pairs)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.join(sizes, "cluster_id").select(
@@ -381,16 +433,38 @@ def drop_near_dups(
     num_perm: int = 32,
     bands: int = 16,
     jaccard_threshold: float = 0.5,
+    clusters: DataFrame | None = None,
     **kw,
 ) -> DataFrame:
     """The point of dedup in a training pipeline: KEEP one representative
     per near-dup cluster (min id) and drop the rest — docs LEFT ANTI the
     non-keeper ids.  Composes pairs → clusters → curated corpus; the
     anti-join side is one row per dropped doc (tiny vs the corpus), so the
-    corpus side never reshuffles beyond the join key."""
-    clusters = dedup_clusters(
-        docs, num_perm=num_perm, bands=bands, jaccard_threshold=jaccard_threshold, **kw
-    )
+    corpus side never reshuffles beyond the join key.
+
+    ``id_col`` names the document-id column; the pair/cluster machinery is
+    keyed on ``doc_id`` internally, so a non-default id column is renamed on
+    the way in (and the anti-join runs on the caller's column).
+    ``clusters`` optionally supplies a precomputed dedup_clusters() result
+    (doc_id keyed on the ``id_col`` values) so the shared pair/cluster stage
+    is computed once across a pairs→clusters→corpus pipeline."""
+    if id_col != "doc_id":
+        if "doc_id" in docs.columns:
+            raise ValueError(
+                "drop_near_dups(id_col=%r): frame already has a 'doc_id' "
+                "column — rename one of them first" % id_col
+            )
+        keyed = docs.withColumnRenamed(id_col, "doc_id")
+    else:
+        keyed = docs
+    if clusters is None:
+        clusters = dedup_clusters(
+            keyed,
+            num_perm=num_perm,
+            bands=bands,
+            jaccard_threshold=jaccard_threshold,
+            **kw,
+        )
     losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )

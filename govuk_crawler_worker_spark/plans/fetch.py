@@ -138,6 +138,12 @@ class TableFetcher:
 
 
 class HttpFetcher:
+    # SIDE-EFFECTING (real GETs): the drain must materialize the routed
+    # batch with an EAGER checkpoint before any multi-branch job so a
+    # partition is never computed (= fetched) twice.  This is the default
+    # for any fetcher that does not declare ``pure = True``.
+    pure = False
+
     def __init__(
         self,
         config: CrawlConfig,

@@ -68,7 +68,18 @@ from govuk_crawler_worker_spark.sources.catalog import Catalog
 
 REDIRECT_STATUSES = (301, 302, 303, 307)
 
-N_PRIORITY_BUCKETS = 4  # frontier partition key: priority_bucket = priority % N
+N_PRIORITY_BUCKETS = 4  # frontier partition key: priority_bucket = clamp(priority)
+
+# Bucketing-scheme version stamped into the commit meta alongside
+# frontier_pb_counts.  The claim-scan pruning assumes ORDERED (clamped)
+# buckets; rows persisted by a pre-clamp catalog (scheme 1: priority % N)
+# violate that ordering, and pruning over them could claim lower-priority
+# rows over skipped higher-priority ones WITHOUT tripping the under-delivery
+# fallback (the mis-bucketed prefix can still fill claim_limit).  Pruning
+# therefore only engages when the stored scheme matches; a legacy catalog
+# falls back to the always-correct full frontier scan until
+# migrate_priority_buckets() rewrites its buckets.
+PB_SCHEME = 2  # 2 = clamped/ordered (priority_bucket_col); 1/absent = legacy mod
 
 # state-table bucketing (catalog merge buckets — sandbox-sized; a production
 # catalog uses O(1000) buckets + compaction):
@@ -254,6 +265,7 @@ class DrainLoop:
                 "frontier_size": n_seeds,
                 "seen_size": n_seeds,
                 "frontier_pb_counts": pb_counts,
+                "pb_scheme": PB_SCHEME,
             },
         )
 
@@ -332,6 +344,11 @@ class DrainLoop:
         pruned: bool)."""
         cfg = self.config
         pb_counts = prev_meta.get("frontier_pb_counts")
+        if prev_meta.get("pb_scheme") != PB_SCHEME:
+            # rows persisted under a different bucketing scheme (e.g. the
+            # legacy priority % N) break the ordered-prefix invariant the
+            # pruning relies on — full scan until the catalog is migrated
+            pb_counts = None
         if pb_counts and eligible_hint is not None and eligible_hint > cfg.claim_limit:
             counts = {int(k): int(v) for k, v in pb_counts.items() if int(v) > 0}
             prefix, cum = [], 0
@@ -628,14 +645,22 @@ class DrainLoop:
             # Materialize the batch once (reused 6×).  localCheckpoint beats
             # persist() here (measured ~20% on the BFS floor: every one of
             # the six consumers pays InMemoryRelation scan setup, while a
-            # checkpoint is a plain local RDD) and guarantees a
-            # side-effecting fetcher (HTTP) can never re-fetch.  LAZY
-            # (eager=False): the first action — the combined stats collect
-            # below, or the bloom probe's candidate checkpoint — materializes
-            # it, so no dedicated checkpoint job pays the ~0.2s fixed job
-            # round trip of this host.  Every later consumer reads the
-            # checkpointed partitions.
-            .localCheckpoint(eager=False)
+            # checkpoint is a plain local RDD).  Eagerness depends on the
+            # fetcher contract: a PURE fetcher (TableFetcher — the fetch is
+            # a join) may be re-executed, so the checkpoint stays LAZY and
+            # the first action (the combined stats collect below, or the
+            # bloom probe's candidate checkpoint) materializes it — no
+            # dedicated checkpoint job pays this host's ~0.2s fixed job
+            # round trip.  A SIDE-EFFECTING fetcher (HttpFetcher, or any
+            # fetcher not declaring ``pure = True``) must checkpoint
+            # EAGERLY: the first materializing action can be a single job
+            # whose DAG reaches routed through two independent branches
+            # (e.g. the fused stats collect reads routed directly AND via
+            # the lazily-checkpointed inserts), and Spark schedules
+            # independent stages concurrently with no exactly-once guarantee
+            # on un-materialized cached blocks — a lazy checkpoint could
+            # compute a routed partition twice, i.e. duplicate HTTP GETs.
+            .localCheckpoint(eager=not getattr(self.fetcher, "pure", False))
         )
 
         stats.stage_ms["crawl_url"] = (time.monotonic() - stage_t) * 1000
@@ -1056,6 +1081,40 @@ class DrainLoop:
         new_meta["frontier_size"] = sum(pb_counts.values())
         new_meta["frontier_pb_counts"] = pb_counts
         self.catalog.commit(meta=new_meta)
+
+    def migrate_priority_buckets(self) -> None:
+        """One-time migration for catalogs written under an older
+        priority-bucket scheme (mod-assigned buckets): recompute
+        ``priority_bucket`` as the CLAMPED ordering for every frontier row,
+        rewrite the frontier's buckets (`_full` merge — stale buckets
+        dropped), refresh the per-bucket counts, and stamp the scheme in the
+        commit meta so the claim-scan pruning re-engages.  O(frontier) once;
+        until it runs, a mismatched catalog simply claims via the exact
+        full-scan path (correct, just un-pruned)."""
+        rows = (
+            self.catalog.read("frontier", S.FRONTIER_SCHEMA)
+            .withColumn("priority_bucket", priority_bucket_col(F.col("priority")))
+            .localCheckpoint(eager=True)
+        )
+        pb_rows = (
+            rows.groupBy("priority_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        pb_counts = {str(int(r["priority_bucket"])): int(r["n"]) for r in pb_rows}
+        new_meta = dict(self.catalog.latest()["meta"])
+        new_meta["frontier_size"] = sum(pb_counts.values())
+        new_meta["frontier_pb_counts"] = pb_counts
+        new_meta["pb_scheme"] = PB_SCHEME
+        self.catalog.commit(
+            merges={
+                "frontier": dict(
+                    delta=rows,
+                    key="url_canon",
+                    bucket_of=frontier_bucket_of,
+                    _full=True,
+                )
+            },
+            meta=new_meta,
+        )
 
     def compact_seen(self) -> None:
         """Physically reclaim TTL-expired seen rows (the Redis analogue is

@@ -52,6 +52,10 @@ class StreamingDrain:
             # same periodic maintenance the batch drain runs: long streaming
             # crawls must not grow disk per tick
             self.loop.catalog.expire_snapshots(keep_last=8)
+        if (b + 1) % 256 == 0:
+            # batch-drain parity: bound the (over-count-only) frontier meta
+            # drift on long streaming crawls too
+            self.loop.reconcile_frontier()
         if stats.claimed == 0:
             # everything backed off: jump the clock like DrainLoop._drain
             min_nb = (
@@ -59,7 +63,15 @@ class StreamingDrain:
                 .agg(F.min("not_before_batch"))
                 .collect()[0][0]
             )
-            if min_nb is not None and int(min_nb) > b + 1:
+            if min_nb is None:
+                # frontier truly empty but meta said > 0: the frontier_size
+                # meta only ever OVER-counts (TTL-expired republish upserts),
+                # and without this correction a drifted meta makes every
+                # future tick run a full empty batch (and process_available
+                # busy-wait to its timeout).  True it up to 0 now — the
+                # batch drain's `break` is this path's streaming analogue.
+                self.loop.reconcile_frontier()
+            elif int(min_nb) > b + 1:
                 # fast-forward the checkpoint clock in the catalog meta
                 new_meta = dict(catalog.latest()["meta"])
                 new_meta["next_batch"] = int(min_nb)
