@@ -62,9 +62,18 @@ SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
 SCALE_4N = SCALE_N * 4
 SCALE2_N = int(os.environ.get("BENCH_SCALE2_N", "8"))
 SCALE2_4N = SCALE2_N * 4
-# the report-only upper pair gets 1 rep by default (its small level shares
-# the engine pair's reps; one 4N rep bounds total bench wall time)
-REPS2 = int(os.environ.get("BENCH_REPS2", "1"))
+# the report-only upper pair: ≥2 interleaved reps by default — a single
+# local[32] rep on this shared host can land ±40% off the HT-ceiling band
+# (the r3 driver run recorded 0.231 on one rep vs 0.33/0.39 on repeated
+# builder runs), so the pair's min-of-reps needs at least two samples
+REPS2 = int(os.environ.get("BENCH_REPS2", "2"))
+
+# Opt-in long soak (BENCH_SOAK_PAGES=1000000 or `python bench.py --soak N`):
+# a many-batch feedback drain sized to cross EVERY maintenance cadence in
+# one run — expire_snapshots (64), reconcile_frontier (256), metric flushes
+# (8), bloom engagement AND at least one capacity rebuild — while sampling
+# process-tree RSS and catalog disk to show both stay bounded.
+SOAK_PAGES = int(os.environ.get("BENCH_SOAK_PAGES", "0"))
 
 
 def make_spark(cores: int, aqe: bool = True):
@@ -163,6 +172,175 @@ def bfs_drain(spark, world, tmp: str) -> tuple[int, float, int]:
     stats = loop.drain(max_batches=40)
     dt = time.monotonic() - t0
     return sum(s.fetched for s in stats), dt, len(stats)
+
+
+def _tree_rss_mb() -> float:
+    """Total VmRSS of this process and all its descendants (the driver
+    python + the JVM + Python UDF workers) in MB — /proc only."""
+    pids, children = {}, {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/status") as fh:
+                txt = fh.read()
+            ppid = int(txt.split("PPid:")[1].split()[0])
+            rss_kb = int(txt.split("VmRSS:")[1].split()[0]) if "VmRSS:" in txt else 0
+        except (OSError, IndexError, ValueError):
+            continue
+        pids[int(d)] = rss_kb
+        children.setdefault(ppid, []).append(int(d))
+    total, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        total += pids.get(p, 0)
+        stack.extend(children.get(p, []))
+    return round(total / 1024.0, 1)
+
+
+def _dir_mb(path: str) -> float:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return round(total / 1e6, 1)
+
+
+def soak_drain(pages: int) -> dict:
+    """Many-batch feedback soak: a 6-ary link tree over ``pages`` pages,
+    claim_limit sized so the drain runs >256 batches (crossing the
+    reconcile cadence) and bloom_min_batch sized so the segmented bloom
+    engages early and crosses ≥1 capacity rebuild (capacity = 8× seen at
+    build).  The world is generated DISTRIBUTED (spark.range + SQL exprs,
+    no driver-side pandas — 1M pages never materialize on the driver).
+
+    Soundness instrumentation piggybacks on the delta-fold invariant: full
+    seen-table reads ≡ bloom rebuilds, so spying catalog.read counts them.
+    RSS (process tree) and catalog disk are sampled every 32 batches; the
+    run asserts snapshot dirs stay bounded (expire_snapshots works) and RSS
+    does not trend upward unbounded."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from govuk_crawler_worker_spark.config import CrawlConfig
+    from govuk_crawler_worker_spark.plans.pipeline import DrainLoop
+    from govuk_crawler_worker_spark.sources.catalog import Catalog
+    from govuk_crawler_worker_spark.sources.world import HOSTS
+
+    spark = make_spark(CPUS, aqe=False)
+    spark.sparkContext.setLogLevel("ERROR")
+    world_dir = tempfile.mkdtemp(prefix="soakworld_")
+    cat_dir = tempfile.mkdtemp(prefix="soakcat_")
+    hosts_arr = "array(" + ",".join(f"'{h}'" for h in HOSTS) + ")"
+
+    def url_of(e: str) -> str:
+        return (
+            f"concat('https://', element_at({hosts_arr}, "
+            f"cast(({e}) % {len(HOSTS)} as int) + 1), '/p', {e})"
+        )
+
+    links = (
+        f"transform(sequence(1, 6), i -> CASE WHEN id * 6 + i < {pages} THEN "
+        f"concat('<a href=\"', {url_of('id * 6 + i')}, '\">c</a>') ELSE '' END)"
+    )
+    (
+        spark.range(pages)
+        .selectExpr(
+            f"{url_of('id')} AS url",
+            "200 AS status",
+            "'text/html' AS content_type",
+            "cast(null as string) AS image_id",
+            f"concat('<html><body>', aggregate({links}, '', (a, b) -> concat(a, b)), "
+            "repeat(' padword', 150), '</body></html>') AS body_html",
+            "cast(null as string) AS redirect_to",
+            "0 AS fail_5xx_n",
+            "0 AS busy_429_n",
+        )
+        .write.mode("overwrite")
+        .parquet(world_dir)
+    )
+    content = spark.read.parquet(world_dir)
+    cfg = CrawlConfig(
+        root_urls=tuple(f"https://{h}/" for h in HOSTS),
+        claim_limit=max(512, pages // 280),  # > 256 batches → reconcile crossed
+    )
+    catalog = Catalog(spark, cat_dir)
+    loop = DrainLoop(
+        spark, catalog, cfg, content,
+        # bloom engages at 5% of pages; capacity = 8× seen-at-build ≈ 40% of
+        # pages, so the growing seen set crosses ≥1 capacity rebuild before
+        # the end at any soak size
+        bloom_min_batch=max(2_000, pages // 20),
+    )
+    full_seen_reads = []
+    orig_read = catalog.read
+
+    def spy_read(name, schema=None):
+        if name == "seen":
+            full_seen_reads.append(name)
+        return orig_read(name, schema)
+
+    catalog.read = spy_read
+    seeds = spark.createDataFrame([(f"https://{HOSTS[0]}/p0", 0)], "url string, priority int")
+    loop.seed(seeds)
+    samples: list[dict] = []
+
+    def progress(st):
+        if st.batch_id % 32 == 0:
+            samples.append(
+                {
+                    "batch": st.batch_id,
+                    "rss_mb": _tree_rss_mb(),
+                    "disk_mb": _dir_mb(cat_dir),
+                    "frontier": st.frontier_size,
+                }
+            )
+
+    t0 = time.monotonic()
+    stats = loop.drain(max_batches=5000, progress=progress)
+    dt = time.monotonic() - t0
+    catalog.read = orig_read
+    fetched = sum(s.fetched for s in stats)
+    snap_dirs = sum(
+        len(os.listdir(os.path.join(cat_dir, "tables", t)))
+        for t in os.listdir(os.path.join(cat_dir, "tables"))
+    )
+    n_tables = len(os.listdir(os.path.join(cat_dir, "tables")))
+    mid = samples[len(samples) // 2]["rss_mb"] if samples else 0
+    end_rss = samples[-1]["rss_mb"] if samples else 0
+    out = {
+        "pages": pages,
+        "fetched": fetched,
+        "batches": len(stats),
+        "total_sec": round(dt, 1),
+        "urls_per_sec": round(fetched / dt, 1),
+        "bloom_rebuilds": len(full_seen_reads),
+        "snapshot_dirs": snap_dirs,
+        "snapshot_dirs_per_table": round(snap_dirs / max(n_tables, 1), 1),
+        "catalog_disk_mb_end": _dir_mb(cat_dir),
+        "rss_mb_mid": mid,
+        "rss_mb_end": end_rss,
+        "samples": samples[:: max(1, len(samples) // 10)],
+    }
+    # bounded-resource checks (lenient: shared host):
+    # expire_snapshots(keep_last=8) every 64 batches bounds live snapshot
+    # dirs per table at ≤ 64 (growth since last expiry) + 8 (kept) + margin;
+    # RSS must not grow unbounded batch-over-batch
+    assert snap_dirs <= n_tables * 80, f"snapshot dirs grew unbounded: {snap_dirs}"
+    if mid > 0:
+        assert end_rss < mid * 1.6, f"driver-tree RSS trending up: {mid} -> {end_rss}"
+    # the sized soak must actually cross ≥1 capacity rebuild on top of the
+    # initial bloom build (full seen reads ≡ rebuilds under delta-fold)
+    assert len(full_seen_reads) >= 2, f"no capacity rebuild crossed: {full_seen_reads}"
+    spark.stop()
+    shutil.rmtree(world_dir, ignore_errors=True)
+    shutil.rmtree(cat_dir, ignore_errors=True)
+    return out
 
 
 def run_queries(spark) -> dict[str, float]:
@@ -299,6 +477,8 @@ def main() -> None:
     qtimes = run_queries(spark)
     spark.stop()
 
+    soak = soak_drain(SOAK_PAGES) if SOAK_PAGES > 0 else None
+
     thr_n = fetched_n / min(times[SCALE_N])
     thr_4n = fetched_n / min(times[SCALE_4N])
     thr_cap = fetched_n / min(times[CAP_CORES])
@@ -348,6 +528,7 @@ def main() -> None:
                     "total_sec": round(bfs_dt, 1),
                     "sec_per_batch": round(bfs_dt / max(bfs_batches, 1), 2),
                 },
+                **({"soak": soak} if soak else {}),
             }
         )
     )
@@ -356,5 +537,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--bulk":
         _bulk_subprocess(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--soak":
+        print(json.dumps({"soak": soak_drain(int(sys.argv[2]))}))
     else:
         main()

@@ -73,22 +73,50 @@ def resample_audio(
     clips: DataFrame, target_rate: int, id_col: str = "clip_id"
 ) -> DataFrame:
     """Linear-interp resample to ``target_rate``, re-encoded as PCM WAV —
-    the mutate-binary-column pipeline shape (image analogue: resize)."""
+    the mutate-binary-column pipeline shape (image analogue: resize).
+
+    Clips in an Arrow batch that share (rate, length, channels) — the
+    common case: a corpus recorded at one or two sample rates with
+    fixed-length training windows — are STACKED and resampled in one
+    vectorized gather+lerp over a (clips, samples, channels) array instead
+    of a per-clip interp loop; odd-shaped clips just form size-1 groups."""
 
     def resample(batches):
         for pdf in batches:
-            rows = []
+            groups: dict = {}
             for r in pdf.itertuples(index=False):
                 samples, rate = au.decode_wav(bytes(r.bytes))
-                out = au.resample_linear(samples, rate, target_rate)
-                rows.append(
-                    {
-                        "clip_id": getattr(r, id_col),
-                        "sample_rate": target_rate,
-                        "n_samples": out.shape[0],
-                        "bytes": au.encode_wav(out, target_rate),
-                    }
-                )
+                key = (rate, samples.shape[0], samples.shape[1])
+                groups.setdefault(key, []).append((getattr(r, id_col), samples))
+            rows = []
+            for (rate, n, _ch), members in groups.items():
+                if rate == target_rate:
+                    for cid, s in members:
+                        rows.append(
+                            {
+                                "clip_id": cid,
+                                "sample_rate": target_rate,
+                                "n_samples": s.shape[0],
+                                "bytes": au.encode_wav(s, target_rate),
+                            }
+                        )
+                    continue
+                m = max(1, int(round(n * target_rate / rate)))
+                dst = np.linspace(0.0, n - 1, m)
+                i0 = np.floor(dst).astype(np.int64)
+                i1 = np.minimum(i0 + 1, n - 1)
+                frac = (dst - i0)[None, :, None]
+                stack = np.stack([s for _cid, s in members]).astype(np.float64)
+                out = stack[:, i0, :] * (1.0 - frac) + stack[:, i1, :] * frac
+                for (cid, _s), o in zip(members, out):
+                    rows.append(
+                        {
+                            "clip_id": cid,
+                            "sample_rate": target_rate,
+                            "n_samples": m,
+                            "bytes": au.encode_wav(o, target_rate),
+                        }
+                    )
             yield pd.DataFrame(
                 rows, columns=["clip_id", "sample_rate", "n_samples", "bytes"]
             )

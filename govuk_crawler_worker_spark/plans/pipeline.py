@@ -122,6 +122,9 @@ class BatchStats:
     frontier_size: int = 0
     duration_s: float = 0.0
     stage_ms: dict = field(default_factory=dict)
+    # rows returned by the fused per-batch stats collect — instrumentation
+    # for the O(routes × buckets) marginal-collect bound (never row data)
+    stats_rows: int = 0
 
 
 class DrainLoop:
@@ -271,57 +274,60 @@ class DrainLoop:
 
     # -- segmented bloom lifecycle (catalog-table state, no driver bitmaps) ---
 
-    def _bloom_for_batch(self, b: int, prev_meta: dict, seen_raw: DataFrame):
-        """Returns (probe_view, commit_rows, bloom_meta, rebuilt, touched).
+    def _bloom_for_batch(self, b: int, prev_meta: dict):
+        """Returns (probe_view, rebuild_rows, bloom_meta, rebuilt).
 
-        Lazy maintenance with a watermark: the bloom table covers every seen
-        row with ``updated_batch < wm``.  A probing batch first folds the
-        [wm, b) delta in (distributed partial-OR); small batches skip probe
-        AND maintenance entirely (zero bloom jobs — the exact anti-join alone
-        is cheaper below ``bloom_min_batch`` candidates).  Rebuild from the
-        full raw seen table when items outgrow capacity.  Over-inclusion is
-        always safe (reset/TTL rows stay in the filter; the exact join
-        decides) — what matters is NO false negatives, guaranteed because
-        every committed seen row is folded before any probe."""
+        Delta-fold-at-commit maintenance (r3 VERDICT 'what's wrong #3'): each
+        batch in the bloom regime ORs ITS OWN seen delta — already in hand,
+        O(delta) — into the stored segments as part of the atomic commit, and
+        stamps ``wm = b + 1`` (the filter covers every seen row committed
+        through batch b).  The probe side therefore reads the stored bloom
+        table DIRECTLY: zero scans of the seen table, ever, outside rebuilds
+        — the fold's I/O provably cannot grow with seen size because its only
+        input is the batch's own delta (the old design re-scanned
+        ``seen WHERE updated_batch >= wm`` per probing batch and relied on
+        parquet row-group stats to prune, which nothing enforced).
+
+        Rebuild from the full raw seen table — the only O(seen) path, and
+        amortized: capacity is sized 8× ahead — when items outgrow capacity,
+        when no filter exists yet (the regime just engaged), or when a
+        legacy catalog's watermark trails the batch clock (rows committed in
+        [wm, b) were never folded; rebuilding beats resurrecting the scan
+        path for a one-time migration).  Over-inclusion is always safe
+        (reset/TTL rows stay in the filter; the exact join decides) — what
+        matters is NO false negatives, guaranteed because batch b's commit
+        atomically covers batch b's delta before batch b+1 probes."""
         meta = prev_meta.get("bloom")
         seen_size = int(prev_meta.get("seen_size", 0))
-        if meta is not None and seen_size <= meta["capacity"]:
-            nb, k, wm = meta["n_bits"], meta["k"], meta["wm"]
-            delta = seen_raw.where(F.col("updated_batch") >= F.lit(wm))
-            partials = bloom_partials(delta, "url_hash", BLOOM_SEGMENTS, nb, k)
-            old = self.catalog.read("bloom", "segment int, bits binary")
-            merged = bloom_or_merge(old, partials).localCheckpoint(eager=True)
-            probe_view = old.join(
-                merged.select("segment"), "segment", "left_anti"
-            ).unionByName(merged)
-            new_meta = dict(meta, wm=b)
-            # bounded: ≤ BLOOM_SEGMENTS rows off a checkpointed df — lets the
-            # commit skip its touched-bucket discovery job
-            touched = sorted(int(r["segment"]) for r in merged.select("segment").collect())
-            return probe_view, merged, new_meta, False, touched
-        else:
-            # (re)build: size for 8× the current seen set, per segment.
-            # The rebuild changes n_bits/k, so it must REPLACE the whole
-            # bloom table: a segment with no current seen rows (e.g. emptied
-            # by compact_seen) would otherwise keep a stale old-geometry
-            # bitmap row that the next probe decodes with the new n_bits/k
-            # — garbage bits, and a bloom false negative breaks the dedup
-            # exactness invariant.  The caller commits this with _full=True
-            # (touches every existing bucket → stale rows dropped).
-            capacity = max(seen_size * 8, 1 << 14)
-            nb, k = bloom_sizing(capacity // BLOOM_SEGMENTS + 1)
-            merged = bloom_partials(
-                seen_raw, "url_hash", BLOOM_SEGMENTS, nb, k
-            ).localCheckpoint(eager=True)
-            probe_view = merged
-            new_meta = {
-                "n_bits": nb,
-                "k": k,
-                "wm": b,
-                "capacity": capacity,
-                "segments": BLOOM_SEGMENTS,
-            }
-            return probe_view, merged, new_meta, True, None
+        if (
+            meta is not None
+            and seen_size <= meta["capacity"]
+            and int(meta.get("wm", -1)) >= b
+        ):
+            probe_view = self.catalog.read("bloom", "segment int, bits binary")
+            return probe_view, None, dict(meta), False
+        # (re)build: size for 8× the current seen set, per segment.
+        # The rebuild changes n_bits/k, so it must REPLACE the whole
+        # bloom table: a segment with no current seen rows (e.g. emptied
+        # by compact_seen) would otherwise keep a stale old-geometry
+        # bitmap row that the next probe decodes with the new n_bits/k
+        # — garbage bits, and a bloom false negative breaks the dedup
+        # exactness invariant.  The caller commits this with _full=True
+        # (touches every existing bucket → stale rows dropped).
+        seen_raw = self.catalog.read("seen", S.SEEN_SCHEMA)
+        capacity = max(seen_size * 8, 1 << 14)
+        nb, k = bloom_sizing(capacity // BLOOM_SEGMENTS + 1)
+        merged = bloom_partials(
+            seen_raw, "url_hash", BLOOM_SEGMENTS, nb, k
+        ).localCheckpoint(eager=True)
+        new_meta = {
+            "n_bits": nb,
+            "k": k,
+            "wm": b,  # covers rows through b-1; this batch's delta folds at commit
+            "capacity": capacity,
+            "segments": BLOOM_SEGMENTS,
+        }
+        return merged, merged, new_meta, True
 
     # -- claim plumbing --------------------------------------------------------
 
@@ -759,14 +765,9 @@ class DrainLoop:
         probe_view = bloom_rows = bloom_meta = None
         bloom_rebuilt, bloom_touched = False, None
         if self.use_bloom and seen_size >= self.bloom_min_seen:
-            seen_raw = self.catalog.read("seen", S.SEEN_SCHEMA)
-            (
-                probe_view,
-                bloom_rows,
-                bloom_meta,
-                bloom_rebuilt,
-                bloom_touched,
-            ) = self._bloom_for_batch(b, prev_meta, seen_raw)
+            probe_view, bloom_rows, bloom_meta, bloom_rebuilt = self._bloom_for_batch(
+                b, prev_meta
+            )
         if probe_view is not None:
             nb, k = bloom_meta["n_bits"], bloom_meta["k"]
             cands = bloom_probe_join(
@@ -822,41 +823,61 @@ class DrainLoop:
         # bucket, claim-delta seen buckets, per-priority-bucket claim
         # counts) AND the published inserts' counts+footprints — two collect
         # jobs fused into one driver round trip (the BFS floor is fixed
-        # per-job latency, ~0.1-0.3 s each on this host).  The collect is
-        # bounded by min(batch rows, routes × sb_buckets × fb_buckets)
-        # combos of ints — a few thousand at the sandbox bucket counts,
-        # never row data.  Sizing note for a deployment with O(1000)-bucket
-        # tables and 10^6-row claims: every footprint consumed below is a
-        # MARGINAL (per-route sb, per-route fb — the sb×fb pairing is never
-        # used), so this aggregate can be split into tagged marginal
-        # groupBys in the same union job, capping the collect at
-        # O(routes × buckets) for ~4 extra map-side stages.  Both inputs
+        # per-job latency, ~0.1-0.3 s each on this host).  Every consumer
+        # below uses only MARGINALS (per-route flags, per-route fb, per-route
+        # sb — never an sb×fb pairing), so each input aggregates by GROUPING
+        # SETS: one scan per input, Expand fans each row into its 2-3
+        # marginal groups with map-side partial aggregation, and the collect
+        # is bounded by O(routes × (sb_buckets + fb_buckets)) ints — NOT the
+        # O(routes × sb × fb) cross product, which at a production
+        # deployment (O(1000)-bucket tables, 10^6-row claims) would approach
+        # a 10^6-row driver collect per batch.  Never row data.  Both inputs
         # are checkpointed, so this re-scans materialized rows only.
-        rc_agg = routed.groupBy(
-            "route",
-            F.coalesce(F.col("ex.error"), F.lit(False)).alias("exerr"),
-            F.coalesce(F.col("has_params"), F.lit(True)).alias("hp"),
-            seen_bucket_of(routed).alias("sb"),
-            frontier_bucket_of(routed).alias("fb"),
-        ).agg(F.count(F.lit(1)).alias("n"))
+        # grouping_id values: bit i set ⟺ grouping column i aggregated away
+        # (column order below), so (route,exerr,hp) → 0b00011 = 3,
+        # (route,fb) → 0b01101 = 13, (route,sb) → 0b01110 = 14; for the
+        # insert side's (sb, fb): (sb) → 1, (fb) → 2.
+        GID_R_FLAGS, GID_R_FB, GID_R_SB = 3, 13, 14
+        GID_I_SB, GID_I_FB = 1, 2
+        rc_agg = (
+            routed.select(
+                "route",
+                F.coalesce(F.col("ex.error"), F.lit(False)).alias("exerr"),
+                F.coalesce(F.col("has_params"), F.lit(True)).alias("hp"),
+                frontier_bucket_of(routed).alias("fb"),
+                seen_bucket_of(routed).alias("sb"),
+            )
+            .groupingSets(
+                [["route", "exerr", "hp"], ["route", "fb"], ["route", "sb"]],
+                "route",
+                "exerr",
+                "hp",
+                "fb",
+                "sb",
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+        )
         ins_agg = (
-            inserts.groupBy(
+            inserts.select(
                 seen_bucket_of(inserts).alias("sb"),
                 frontier_bucket_of(inserts).alias("fb"),
             )
-            .agg(F.count(F.lit(1)).alias("n"))
+            .groupingSets([["sb"], ["fb"]], "sb", "fb")
+            .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
             .select(
                 F.lit(None).cast("string").alias("route"),
                 F.lit(False).alias("exerr"),
                 F.lit(False).alias("hp"),
-                "sb",
                 "fb",
+                "sb",
                 "n",
+                "gid",
             )
         )
         counts = rc_agg.withColumn("tag", F.lit("r")).unionByName(
             ins_agg.withColumn("tag", F.lit("i"))
         ).collect()
+        stats.stats_rows = len(counts)
 
         route_counts: dict[str, int] = {}
         n_extract_err = n_fetch_rows = 0
@@ -869,24 +890,31 @@ class DrainLoop:
         stats.published = 0
         for r in counts:
             n = int(r["n"])
+            gid = int(r["gid"])
             if r["tag"] == "i":
-                stats.published += n
-                insert_sb.add(int(r["sb"]))
-                insert_fb.add(int(r["fb"]))
+                if gid == GID_I_SB:
+                    stats.published += n
+                    insert_sb.add(int(r["sb"]))
+                else:  # GID_I_FB
+                    insert_fb.add(int(r["fb"]))
                 continue
-            route_counts[r["route"]] = route_counts.get(r["route"], 0) + n
-            if r["route"] == "fetch_html" and r["exerr"]:
-                n_extract_err += n
-            if r["route"] in ("fetch_html", "fetch_other") and not r["hp"]:
-                n_fetch_rows += n
-            fb = int(r["fb"])
-            pb = fb // FRONTIER_HOST_BUCKETS
-            delete_fb.add(fb)
-            claimed_pb[pb] = claimed_pb.get(pb, 0) + n
-            if r["route"] in ("requeue_429", "requeue_5xx"):
-                # a requeue keeps its priority and host → same frontier bucket
-                requeued_pb[pb] = requeued_pb.get(pb, 0) + n
-            if r["route"] in ("requeue_5xx", "reset"):
+            route = r["route"]
+            if gid == GID_R_FLAGS:
+                route_counts[route] = route_counts.get(route, 0) + n
+                if route == "fetch_html" and r["exerr"]:
+                    n_extract_err += n
+                if route in ("fetch_html", "fetch_other") and not r["hp"]:
+                    n_fetch_rows += n
+            elif gid == GID_R_FB:
+                fb = int(r["fb"])
+                pb = fb // FRONTIER_HOST_BUCKETS
+                delete_fb.add(fb)
+                claimed_pb[pb] = claimed_pb.get(pb, 0) + n
+                if route in ("requeue_429", "requeue_5xx"):
+                    # a requeue keeps its priority and host → same frontier
+                    # bucket
+                    requeued_pb[pb] = requeued_pb.get(pb, 0) + n
+            elif gid == GID_R_SB and route in ("requeue_5xx", "reset"):
                 claim_delta_sb.add(int(r["sb"]))
         stats.claimed = sum(route_counts.values())
         stats.requeued = route_counts.get("requeue_429", 0) + route_counts.get(
@@ -913,6 +941,53 @@ class DrainLoop:
             "url_canon",
             "left_anti",
         ).unionByName(publish_delta)
+
+        # ---- bloom delta fold (O(delta), commit-side) -----------------------
+        # OR this batch's seen delta into the filter as part of the atomic
+        # commit (see _bloom_for_batch): the fold's only input is the delta
+        # itself — never a scan of the seen table — so filter maintenance
+        # I/O is bounded by the batch, not by history.  Counts are already
+        # known from the marginal stats collect, so an empty delta skips
+        # every bloom job (the watermark still advances: nothing new to
+        # cover).
+        if bloom_meta is not None:
+            n_seen_delta = (
+                stats.published
+                + route_counts.get("requeue_5xx", 0)
+                + route_counts.get("reset", 0)
+            )
+            if n_seen_delta > 0:
+                nb_, k_ = bloom_meta["n_bits"], bloom_meta["k"]
+                partials = bloom_partials(
+                    seen_delta, "url_hash", BLOOM_SEGMENTS, nb_, k_
+                )
+                if bloom_rebuilt:
+                    # the rebuild rows (full replace) cover history through
+                    # b-1: OR the delta in, carrying untouched segments
+                    folded = bloom_or_merge(bloom_rows, partials)
+                    bloom_rows = (
+                        bloom_rows.join(
+                            folded.select("segment"), "segment", "left_anti"
+                        )
+                        .unionByName(folded)
+                        .localCheckpoint(eager=True)
+                    )
+                else:
+                    # steady state: merge rows for exactly the delta's
+                    # segments against the stored table (probe_view IS the
+                    # stored table here)
+                    bloom_rows = bloom_or_merge(probe_view, partials).localCheckpoint(
+                        eager=True
+                    )
+                    # bounded: ≤ BLOOM_SEGMENTS ints off a checkpointed df —
+                    # lets the commit skip its touched-bucket discovery job
+                    bloom_touched = sorted(
+                        int(r["segment"])
+                        for r in bloom_rows.select("segment").collect()
+                    )
+            elif not bloom_rebuilt:
+                bloom_rows = None  # nothing to write; meta still advances
+            bloom_meta = dict(bloom_meta, wm=b + 1)
 
         # ---- dead + requeues + next frontier ---------------------------------
         dead_new = routed.where(F.col("route").isin("gate_dead", "not_found")).select(

@@ -318,8 +318,10 @@ class TestCrashAtomicity:
 
 
 class TestBloomLifecycle:
-    """Segmented-bloom maintenance: watermark fold while within capacity,
-    full rebuild (with larger sizing) once the seen set outgrows it."""
+    """Segmented-bloom maintenance: delta-fold-at-commit keeps the stored
+    table authoritative (probe reads it directly, zero seen scans); full
+    rebuild (with larger sizing) once the seen set outgrows capacity, or
+    when a legacy watermark trails the batch clock."""
 
     def _loop(self, spark, tmpdir):
         from govuk_crawler_worker_spark.config import CrawlConfig
@@ -353,24 +355,34 @@ class TestBloomLifecycle:
             merges={"seen": dict(delta=seen0, key="url_canon", bucket_of=bucket_of)},
             meta={"next_batch": 1, "seen_size": 200},
         )
-        seen_raw = cat.read("seen", S.SEEN_SCHEMA)
-
-        # first call: no bloom meta → build, wm = b
-        view1, rows1, meta1, rb1, _t1 = loop._bloom_for_batch(1, cat.latest()["meta"], seen_raw)
+        # first call: no bloom meta → build, wm = b (this batch's delta
+        # would fold at commit, advancing wm to b+1)
+        view1, rows1, meta1, rb1 = loop._bloom_for_batch(1, cat.latest()["meta"])
         assert rb1  # first build is a (re)build — committed _full
         assert meta1["wm"] == 1 and meta1["capacity"] >= 200 * 8
         cat.commit(
             merges={"bloom": dict(delta=rows1, key="segment", bucket_of=lambda df: F.col("segment"))},
-            meta={**cat.latest()["meta"], "bloom": meta1},
+            # as run_batch's commit does: wm advances past the batch it covers
+            meta={**cat.latest()["meta"], "bloom": dict(meta1, wm=2)},
         )
 
-        # second call, within capacity: FOLD path (same sizing, wm advances)
-        view2, rows2, meta2, rb2, t2 = loop._bloom_for_batch(5, cat.latest()["meta"], seen_raw)
-        # fold path carries its touched segment list (here []: the fold
-        # delta is empty — no seen row newer than the watermark)
-        assert not rb2 and t2 is not None
-        assert meta2["n_bits"] == meta1["n_bits"] and meta2["wm"] == 5
+        # steady state (wm caught up, within capacity): probe reads the
+        # STORED table directly — no rebuild, no rows to write, and
+        # crucially no seen-table scan (pinned end-to-end by
+        # TestBloomDeltaFold in test_scale_paths.py)
+        view2, rows2, meta2, rb2 = loop._bloom_for_batch(2, cat.latest()["meta"])
+        assert not rb2 and rows2 is None
+        assert meta2["n_bits"] == meta1["n_bits"]
         assert meta2["capacity"] == meta1["capacity"]
+        assert {r["segment"] for r in view2.collect()} == {
+            r["segment"] for r in view1.collect()
+        }
+
+        # a TRAILING watermark (legacy catalog: rows committed in [wm, b)
+        # were never folded) must force a rebuild — probing the stale
+        # filter could yield false negatives
+        view2b, rows2b, _meta2b, rb2b = loop._bloom_for_batch(5, cat.latest()["meta"])
+        assert rb2b
 
         # grow seen past capacity → REBUILD with larger sizing
         big = self._seen_rows(spark, 40_000, 6)
@@ -378,11 +390,11 @@ class TestBloomLifecycle:
             merges={"seen": dict(delta=big, key="url_canon", bucket_of=bucket_of)},
             meta={**cat.latest()["meta"], "seen_size": 40_000},
         )
-        seen_raw2 = cat.read("seen", S.SEEN_SCHEMA)
-        view3, rows3, meta3, rb3, _t3 = loop._bloom_for_batch(7, cat.latest()["meta"], seen_raw2)
+        view3, rows3, meta3, rb3 = loop._bloom_for_batch(7, cat.latest()["meta"])
         assert rb3  # overflow → geometry rebuild, committed _full
         assert meta3["capacity"] >= 40_000 * 8
         assert meta3["n_bits"] > meta1["n_bits"]
+        seen_raw2 = cat.read("seen", S.SEEN_SCHEMA)
         # the rebuilt filter must cover the whole seen set (no false negatives)
         from govuk_crawler_worker_spark.operators.seen import bloom_probe_join
         from govuk_crawler_worker_spark.plans.pipeline import BLOOM_SEGMENTS

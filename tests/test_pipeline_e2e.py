@@ -183,7 +183,7 @@ class TestHttpDrainMatchesSimulator:
         return c
 
     @staticmethod
-    def _serve(content):
+    def _serve(content, counts=None):
         import threading
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
         from urllib.parse import urlsplit
@@ -196,6 +196,8 @@ class TestHttpDrainMatchesSimulator:
 
         class H(BaseHTTPRequestHandler):
             def do_GET(self):
+                if counts is not None:
+                    counts[self.path] += 1
                 r = rows.get(self.path)
                 if r is None:
                     self.send_response(404)
@@ -281,6 +283,69 @@ class TestHttpDrainMatchesSimulator:
             (r["url_canon"], r["reason"]) for r in catalog.read("dead").collect()
         )
         assert dead == sorted((d["url_canon"], d["reason"]) for d in sim.dead)
+
+
+class TestHttpFetchExactlyOnce(TestHttpDrainMatchesSimulator):
+    def test_side_effecting_fetch_runs_exactly_once(self, spark):
+        """ADVICE r3 (medium): with a side-effecting fetcher the routed
+        batch must checkpoint EAGERLY — Spark schedules the independent
+        branches of a multi-branch job concurrently, and cached-block
+        getOrCompute is not exactly-once, so a lazy checkpoint could compute
+        a routed partition twice, i.e. re-run real HTTP GETs.  Serve a
+        fault-free 16-page tree and count every GET server-side: each URL
+        must be requested exactly once across the whole drain."""
+        import collections
+
+        import pandas as pd
+
+        from govuk_crawler_worker_spark.config import CrawlConfig
+        from govuk_crawler_worker_spark.plans.fetch import HttpFetcher
+
+        n = 16
+        urls = [f"https://www.gov.uk/p{i}" for i in range(n)]
+
+        def body(i):
+            kids = [2 * i + 1, 2 * i + 2]
+            links = "".join(f'<a href="{urls[k]}">x</a>' for k in kids if k < n)
+            return f"<html><body>{links}</body></html>"
+
+        content = pd.DataFrame(
+            [
+                dict(
+                    url=u,
+                    status=200,
+                    content_type="text/html",
+                    image_id=None,
+                    body_html=body(i),
+                    redirect_to=None,
+                    fail_5xx_n=0,
+                    busy_429_n=0,
+                )
+                for i, u in enumerate(urls)
+            ]
+        )
+        counts = collections.Counter()
+        srv, base = self._serve(content, counts)
+        cfg = CrawlConfig()
+        try:
+            catalog = Catalog(spark, tempfile.mkdtemp(prefix="once_"))
+            fetcher = HttpFetcher(cfg, opener=self._proxy_opener(base))
+            # the contract that forces the eager checkpoint:
+            assert not getattr(fetcher, "pure", False)
+            loop = DrainLoop(spark, catalog, cfg, fetcher=fetcher)
+            loop.seed(
+                spark.createDataFrame(
+                    pd.DataFrame({"url": [urls[0]], "priority": [0]}),
+                    "url string, priority int",
+                )
+            )
+            loop.drain(max_batches=30)
+        finally:
+            srv.shutdown()
+        assert catalog.read("fetched").count() == n
+        assert len(counts) == n
+        dups = {p: c for p, c in counts.items() if c != 1}
+        assert not dups, f"duplicate HTTP GETs: {dups}"
 
 
 class TestSegmentedBloom:
