@@ -271,17 +271,26 @@ def _dedup_minhash_lsh(spark, sf):
     return _shared_pairs(spark, sf)
 
 
+_CLUSTERS_MEMO: dict = {}
+
+
 def _dedup_clusters(spark, sf):
     """Near-dup pairs → duplicate CLUSTERS (connected components via
     alternating large-star/small-star contraction; keeper = min doc_id).
     Fully value-oracled: the pair set provably equals the exhaustive
     jaccard pairs (see _dedup_minhash_lsh), and DuckDB recomputes the same
-    components with a recursive CTE."""
-    from govuk_crawler_worker_spark.operators.dedup import dedup_clusters
+    components with a recursive CTE.  Memoized like the pair stage —
+    drop_near_dups composes on the SAME clusters frame instead of re-running
+    the contraction rounds."""
+    key = (id(spark), sf)
+    if key not in _CLUSTERS_MEMO:
+        from govuk_crawler_worker_spark.operators.dedup import dedup_clusters
 
-    return dedup_clusters(
-        _t(spark, sf, "documents"), pairs=_shared_pairs(spark, sf)
-    )
+        _CLUSTERS_MEMO.clear()
+        _CLUSTERS_MEMO[key] = dedup_clusters(
+            _t(spark, sf, "documents"), pairs=_shared_pairs(spark, sf)
+        ).localCheckpoint(eager=False)
+    return _CLUSTERS_MEMO[key]
 
 
 def _drop_near_dups(spark, sf):

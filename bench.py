@@ -495,11 +495,18 @@ def main() -> None:
             ),
             # local[8] already saturates the 16 physical cores during UDF
             # stages (8 JVM + 8 Python worker contexts), so this pair's
-            # ceiling is the hyperthread yield ALONE: ~1.2-1.3x speedup /4
-            # => eff ceiling ~0.30-0.33, not 1.0 — see BENCH/BASELINE.md
+            # STRUCTURAL ceiling is the hyperthread yield alone (~1.2-1.3x
+            # /4 => eff <=0.30-0.33, not 1.0).  In practice local[32] also
+            # OVERSUBSCRIBES (32 JVM + 32 Python contexts on 16 cores) and
+            # repeatedly measures at or below local[16] on this host, so
+            # observed eff ranges 0.23-0.39 across full runs — read the
+            # number as "saturated, HT-bound, scheduling-noisy", not as an
+            # engine property; the engine pair is 2->8.
             f"note_{SCALE2_N}_to_{SCALE2_4N}": "local[8] already saturates "
-            "the 16 physical cores (JVM+Python contexts); ceiling for this "
-            "pair is the hyperthread yield alone, eff ~0.30-0.33",
+            "the 16 physical cores (JVM+Python contexts); structural "
+            "ceiling for this pair is the hyperthread yield (~0.30-0.33) "
+            "and local[32] additionally oversubscribes 64 contexts onto 16 "
+            "cores — observed 0.23-0.39 across runs, often below local[16]",
         }
 
     print(

@@ -144,6 +144,34 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = 
     )
 
 
+def shingle_hashes(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, h) rows: 64-bit hashes of word n-grams, distinct per doc —
+    the hot-path form of :func:`shingles`.  Words are hashed ONCE per doc
+    and each shingle hash combines the n word hashes (``xxhash64(wh[i..i+n])``)
+    instead of allocating a concatenated string per shingle — measured ~3×
+    faster on the sandbox; the hash family differs from
+    ``xxhash64(shingle_string)`` but any consistent 64-bit family is
+    equivalent for the df-cap / banding / set-verify pipeline (per-pair
+    collision odds ~1e-15)."""
+    idx = ", ".join(f"wh[i+{j}]" for j in range(n))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"transform(split({text_col}, ' '), x -> xxhash64(x))").alias("wh"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(wh)-{n}, -1)), "
+                    f"i -> xxhash64({idx}))"
+                )
+            )
+        ).alias("h"),
+    )
+
+
 def minhash_signatures(sh: DataFrame, num_perm: int = 32) -> DataFrame:
     """num_perm MinHash values per doc in ONE aggregation pass: perm_j(s) =
     xxhash64(j || s) (JVM xxhash64, vectorized), signature_j = min over
@@ -247,13 +275,22 @@ def minhash_lsh_pairs(
     ``max_shingle_df`` drops stop-shingles (document frequency cap) so one
     viral phrase cannot create a quadratic candidate blowup at 100 TB."""
     rows_per_band = num_perm // bands
-    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    # Shingles enter as 64-bit HASHES (word hashes combined — see
+    # shingle_hashes; ~3× cheaper than allocating a string per shingle) and
+    # the hashed rows persist: everything downstream (the stop-shingle
+    # document-frequency cap, the anti-join, the per-doc set aggregation,
+    # the exact verify) operates on 8-byte longs instead of ~25-byte
+    # strings, and the explode runs once instead of twice (the df-cap
+    # aggregate and the set aggregate both scan it).  A 64-bit collision
+    # inside the cap/verify is ~1e-15 per pair — far below every other
+    # error source.
+    sh = shingle_hashes(docs, n=n, text_col=text_col, id_col=id_col).persist()
     hot = (
-        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > max_shingle_df)
-        .select("shingle")
+        .select("h")
     )
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.join(F.broadcast(hot), "h", "left_anti")
     # The per-doc shingle-hash set is aggregated ONCE and reused by both the
     # band-key pass and the exact verify (persist: doc-count rows, a few MB
     # per million docs per partition — nothing like the raw shingle rows).
@@ -261,8 +298,11 @@ def minhash_lsh_pairs(
     # (cand ⋈ sh ⋈ sh + re-aggregate) that dominated the r2 wall time: the
     # candidate pair list is LSH-bounded, so a vectorized per-pair
     # intersection over the pre-grouped sets is strictly less work.
-    grouped = shingle_hash_sets(sh).persist()
-    band_rows = band_keys_from_grouped(grouped, num_perm, bands)
+    grouped = sh.groupBy("doc_id").agg(F.collect_list("h").alias("hs")).persist()
+    # persisted: the band-key Arrow pass feeds BOTH sides of the self-join
+    # below — without the cache the pandas UDF (the expensive stage) runs
+    # twice.  docs × bands rows of three longs: tiny at any scale.
+    band_rows = band_keys_from_grouped(grouped, num_perm, bands).persist()
 
     cand = (
         band_rows.alias("l")
@@ -324,10 +364,13 @@ def connected_components(
     O(component diameter) rounds and degrades on chain-shaped duplicate
     graphs (templated pages each similar only to the next) — convergence is
     logarithmic in component size, not diameter.  Per-round state is
-    localCheckpointed (constant-depth lineage); the only driver data is the
-    per-round (edge count, converged?) pair of scalars.  Raises
-    RuntimeError if the round cap is hit, rather than silently returning
-    unconverged labels."""
+    localCheckpointed LAZILY (constant-depth lineage; the round's single
+    convergence action materializes it — on a fixed per-job latency floor
+    the per-round JOB COUNT is the iteration cost) and the only driver
+    data is one converged? scalar per round: the fixed-point test is a
+    symmetric difference (tagged union → per-edge count → any c=1) fused
+    into ONE job.  Raises RuntimeError if the round cap is hit, rather
+    than silently returning unconverged labels."""
     # canonical directed form: hi → lo, self-loops dropped
     dir_e = (
         edges.select(
@@ -336,13 +379,10 @@ def connected_components(
         )
         .where(F.col("hi") != F.col("lo"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n_edges = dir_e.count()
-    converged = n_edges == 0
+    converged = False
     for _ in range(max_iters):
-        if converged:
-            break
         # large-star: min over the full neighborhood of u (symmetrized),
         # emitted only toward the larger neighbors (v > u ≥ m, so the
         # (v, m) output is already in hi→lo form)
@@ -368,16 +408,24 @@ def connected_components(
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
             .unionByName(with_min.select("hi", F.col("m").alias("lo")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # converged ⟺ the (distinct) edge set is a fixed point: same
-        # cardinality and nothing new — two bounded-scalar jobs over
-        # checkpointed rows
-        n_new = new_e.count()
-        converged = n_new == n_edges and (
-            new_e.join(dir_e, ["hi", "lo"], "left_anti").limit(1).count() == 0
+        # fixed point ⟺ symmetric difference empty: both sides are
+        # distinct sets, so an edge present in exactly one surfaces as
+        # count==1 in the union — a single bounded-scalar job, which also
+        # materializes new_e's lazy checkpoint
+        changed = (
+            new_e.unionByName(dir_e)
+            .groupBy("hi", "lo")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") == 1)
+            .limit(1)
+            .count()
         )
-        dir_e, n_edges = new_e, n_new
+        dir_e = new_e
+        if changed == 0:
+            converged = True
+            break
     if not converged:
         raise RuntimeError(
             f"connected_components: not converged after {max_iters} "
