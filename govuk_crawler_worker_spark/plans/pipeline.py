@@ -1062,6 +1062,18 @@ class DrainLoop:
         # touched-bucket sets are already known driver-side (from the route
         # and insert aggregates above) — passing them lets the commit skip
         # its touched-bucket discovery job entirely
+        # State tables switch to MERGE-ON-READ past the big-state threshold
+        # (the same switch that governs the bloom/bucketed-join strategies):
+        # a copy-on-write bucket rewrite is O(table)/commit once a
+        # uniform-hash delta touches every bucket — any delta ≳ bucket count
+        # does, so at production claim sizes every commit would rewrite the
+        # whole seen/frontier table (the r4 1M-page soak measured ~90 % of
+        # catalog bytes as rewrite garbage).  MOR commits append O(delta)
+        # leaves (frontier deletes travel as tombstones), reads fold the
+        # bounded per-bucket chains latest-wins, and over-long chains are
+        # folded inline by the committing batch.  Below the threshold the
+        # tables are broadcast-small and COW rewrites are cheapest.
+        mor_frontier = int(prev_meta.get("frontier_size") or 0) >= self.bloom_min_seen
         merges = {
             "frontier": dict(
                 delta=frontier_delta,
@@ -1069,12 +1081,14 @@ class DrainLoop:
                 bucket_of=frontier_bucket_of,
                 deletes=frontier_deletes,
                 touched=sorted(delete_fb | insert_fb),
+                mor=mor_frontier,
             ),
             "seen": dict(
                 delta=seen_delta,
                 key="url_canon",
                 bucket_of=seen_bucket_of,
                 touched=sorted(claim_delta_sb | insert_sb),
+                mor=prune_seen,
             ),
         }
         if bloom_rows is not None:

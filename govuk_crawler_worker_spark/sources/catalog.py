@@ -20,6 +20,17 @@ Scale notes (100 TB / 10^10-URL frontier):
   ``MERGE INTO`` / bucket-partition-overwrite analogue).  Bucket count is a
   sandbox-sized parameter; a production catalog uses O(1000) buckets +
   periodic compaction.
+* **merge-on-read mode** (``mor=True`` in a merge spec): copy-on-write
+  bucket rewrites amplify to O(table)/commit once a uniform-hash delta
+  touches every bucket (any delta ≳ bucket count does) — the r4 1M-page
+  soak measured ~90 % of catalog bytes as rewrite garbage.  MOR commits
+  instead APPEND the delta as a new leaf on each touched bucket's chain
+  (write = O(delta), the Iceberg v2 MOR / LSM-tier analogue); reads fold
+  chains with latest-wins per key (ordered by the spec's ``order`` column,
+  commit id as tie-break), deletes travel as tombstone rows, and a bucket
+  whose chain exceeds ``mor_max_chain`` (default 16) is folded inline by
+  that same commit — read fan-in stays bounded without global pauses.
+  Compaction folds chains back to a single base.
 * plain ``replaces`` copy-on-write remains for small whole tables.
 * the commit manifest is O(#tables × #buckets) JSON — no scaling concern.
 * readers are never blocked: a commit is a single ``os.rename`` of the
@@ -38,6 +49,59 @@ import shutil
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+# merge-on-read plumbing: tombstone marker column and the per-bucket delta
+# chain cap (a bucket whose chain would exceed this is folded inline by the
+# committing batch — bounded read fan-in, amortized O(chain) fold cost)
+_TOMB = "_tomb"
+MOR_MAX_CHAIN = 16
+
+
+def _chain(v) -> list[str]:
+    """parts-map values are a single leaf (copy-on-write) or a chain of
+    leaves, base first (merge-on-read)."""
+    if v is None:
+        return []
+    return list(v) if isinstance(v, list) else [v]
+
+
+def _fold_latest_wins(df: DataFrame, key: str, order: str | None, cur_seq: int):
+    """Collapse a MOR chain to one live row per key: winner = max over
+    (order column, commit seq from the leaf filename, upsert-beats-tombstone)
+    — one groupBy with map-side partial aggregation, proportional to the
+    rows actually read.  Tombstone winners are dropped (the delete took
+    effect); the marker column never leaves the catalog."""
+    from pyspark.sql import functions as F
+
+    data_cols = [c for c in df.columns if c != _TOMB]
+    # seq/tomb are projected BEFORE the aggregate: input_file_name() is
+    # non-deterministic and must be evaluated at the scan, not inside the
+    # aggregate's arguments
+    staged = df.select(
+        *data_cols,
+        F.coalesce(F.col(_TOMB), F.lit(False)).alias(_TOMB),
+        F.coalesce(
+            # try_cast: rows not read from a file (the committing delta in
+            # an inline fold) have no filename → empty match → NULL → this
+            # commit's seq
+            F.expr(
+                r"try_cast(regexp_extract(input_file_name(), 'snap-(\\d+)', 1) as long)"
+            ),
+            F.lit(cur_seq),
+        ).alias("_seq"),
+    )
+    ordc = F.col(order) if order else F.lit(0)
+    won = staged.groupBy(F.col(key).alias("_k")).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in data_cols], F.col(_TOMB)),
+            F.struct(
+                ordc.alias("_o"),
+                F.col("_seq").alias("_s"),
+                (~F.col(_TOMB)).cast("int").alias("_nt"),
+            ),
+        ).alias("_w")
+    )
+    return won.select("_w.*").where(~F.col(_TOMB)).drop(_TOMB)
 
 
 class Catalog:
@@ -69,14 +133,34 @@ class Catalog:
 
     # -- reads ----------------------------------------------------------------
 
-    def _reader_for(self, manifest, name):
-        from pyspark.sql.types import StructType
+    def _reader_for(self, manifest, name, with_tomb: bool = False):
+        from pyspark.sql.types import BooleanType, StructField, StructType
 
         stored = manifest.get("schemas", {}).get(name)
         reader = self.spark.read
         if stored is not None:
-            reader = reader.schema(StructType.fromJson(json.loads(stored)))
+            st = StructType.fromJson(json.loads(stored))
+            if with_tomb and _TOMB not in st.fieldNames():
+                # MOR delta leaves carry the tombstone marker; base leaves
+                # don't — an explicit schema makes the reader null-fill it
+                st = StructType(list(st.fields) + [StructField(_TOMB, BooleanType())])
+            reader = reader.schema(st)
         return reader
+
+    def _assemble(self, manifest, name, segs: list[str]) -> DataFrame:
+        """Read the given leaves; if any is a MOR delta leaf, fold the chain
+        (latest-wins per key, tombstones applied) so callers always see one
+        live row per key — the Iceberg-v2 merge-on-read contract."""
+        mor = manifest.get("mor", {}).get(name)
+        need_fold = mor is not None and any("-mor/" in s or s.endswith("-mor") for s in segs)
+        df = self._reader_for(manifest, name, with_tomb=need_fold).parquet(
+            *(os.path.join(self.root, s) for s in segs)
+        )
+        if need_fold:
+            df = _fold_latest_wins(
+                df, mor["key"], mor.get("order"), int(manifest["commit_id"])
+            )
+        return df
 
     def read(self, name: str, schema=None) -> DataFrame:
         """Latest snapshot of ``name``; empty DataFrame with ``schema`` if the
@@ -88,14 +172,13 @@ class Catalog:
         part files — read back correctly."""
         manifest = self.latest()
         segs = list(manifest["tables"].get(name) or [])
-        segs += list((manifest.get("parts", {}).get(name) or {}).values())
+        for v in (manifest.get("parts", {}).get(name) or {}).values():
+            segs += _chain(v)
         if not segs:
             if schema is None:
                 raise KeyError(f"table {name!r} absent and no schema given")
             return self.spark.createDataFrame([], schema)
-        return self._reader_for(manifest, name).parquet(
-            *(os.path.join(self.root, s) for s in segs)
-        )
+        return self._assemble(manifest, name, segs)
 
     def read_buckets(self, name: str, buckets, schema=None) -> DataFrame:
         """Read ONLY the given buckets of a merge table — I/O proportional to
@@ -103,14 +186,12 @@ class Catalog:
         map, the partition-pruning analogue)."""
         manifest = self.latest()
         parts = manifest.get("parts", {}).get(name) or {}
-        segs = [parts[str(b)] for b in buckets if str(b) in parts]
+        segs = [s for b in buckets if str(b) in parts for s in _chain(parts[str(b)])]
         if not segs:
             if schema is None:
                 raise KeyError(f"no buckets of {name!r} and no schema given")
             return self.spark.createDataFrame([], schema)
-        return self._reader_for(manifest, name).parquet(
-            *(os.path.join(self.root, s) for s in segs)
-        )
+        return self._assemble(manifest, name, segs)
 
     def exists(self, name: str) -> bool:
         m = self.latest()
@@ -192,14 +273,29 @@ class Catalog:
                 )
             return keyed
 
+        def _write_bucketed(df: DataFrame, bucket_of, rel: str, n_parts: int):
+            (
+                df.withColumn("_pb", bucket_of(df).cast("int"))
+                # co-locate each bucket into one task before partitionBy —
+                # otherwise every task writes a file per bucket and the
+                # snapshot explodes into tasks×buckets tiny files (file
+                # listing then dominates the next batch's read)
+                .repartition(max(n_parts, 1), F.col("_pb"))
+                .write.mode("overwrite")
+                .partitionBy("_pb")
+                .parquet(os.path.join(self.root, rel))
+            )
+
         def write_merge(
             name: str, spec: dict, touched: list[int]
-        ) -> tuple[str, list[str], str]:
+        ) -> tuple[str, list[str], str, dict | None]:
             delta, key = spec["delta"], spec["key"]
             bucket_of = spec["bucket_of"]
             schema_json = json.dumps(delta.schema.jsonValue())
             if not touched:
-                return name, [], schema_json
+                return name, [], schema_json, None
+            if spec.get("mor") and not spec.get("_full"):
+                return write_merge_mor(name, spec, touched)
             if spec.get("_full"):
                 merged = delta  # compaction: delta IS the new full content
             else:
@@ -212,18 +308,79 @@ class Catalog:
                 )
                 merged = kept.unionByName(delta)
             rel = os.path.join("tables", name, f"snap-{n:08d}")
-            (
-                merged.withColumn("_pb", bucket_of(merged).cast("int"))
-                # co-locate each bucket into one task before partitionBy —
-                # otherwise every task writes a file per bucket and the
-                # snapshot explodes into tasks×buckets tiny files (file
-                # listing then dominates the next batch's read)
-                .repartition(max(len(touched), 1), F.col("_pb"))
-                .write.mode("overwrite")
-                .partitionBy("_pb")
-                .parquet(os.path.join(self.root, rel))
+            _write_bucketed(merged, bucket_of, rel, len(touched))
+            return name, touched, schema_json, None
+
+        def write_merge_mor(
+            name: str, spec: dict, touched: list[int]
+        ) -> tuple[str, list[str], str, dict]:
+            """Merge-on-read commit: append the delta (+ tombstoned deletes)
+            as one new leaf per touched bucket — NO read of the old buckets,
+            write I/O = O(delta) regardless of table size.  Buckets whose
+            chain would exceed the cap are folded inline instead (old chain
+            + this delta → one fresh base leaf), so read fan-in stays ≤ cap
+            while the fold cost amortizes to O(bucket)/cap commits."""
+            delta, key = spec["delta"], spec["key"]
+            bucket_of = spec["bucket_of"]
+            order = spec.get("order")
+            max_chain = int(spec.get("mor_max_chain", MOR_MAX_CHAIN))
+            schema_json = json.dumps(delta.schema.jsonValue())
+            rows = delta.withColumn(_TOMB, F.lit(False))
+            deletes = spec.get("deletes")
+            if deletes is not None:
+                tomb = deletes
+                for f in delta.schema.fields:
+                    if f.name not in tomb.columns:
+                        tomb = tomb.withColumn(f.name, F.lit(None).cast(f.dataType))
+                rows = rows.unionByName(
+                    tomb.select(delta.columns).withColumn(_TOMB, F.lit(True))
+                )
+            prev_chains = {
+                b: _chain((prev.get("parts", {}).get(name) or {}).get(str(b)))
+                for b in touched
+            }
+            long_b = sorted(
+                b for b in touched if len(prev_chains[b]) + 1 > max_chain
             )
-            return name, touched, schema_json
+            short_b = sorted(set(touched) - set(long_b))
+            bcol = bucket_of(rows).cast("int")
+            chain_updates: dict[int, list[str]] = {}
+            if short_b:
+                rel_mor = os.path.join("tables", name, f"snap-{n:08d}-mor")
+                _write_bucketed(
+                    rows.where(bcol.isin([int(b) for b in short_b])),
+                    bucket_of,
+                    rel_mor,
+                    len(short_b),
+                )
+                for b in short_b:
+                    leaf = os.path.join(rel_mor, f"_pb={b}")
+                    if os.path.isdir(os.path.join(self.root, leaf)):
+                        chain_updates[b] = prev_chains[b] + [leaf]
+            if long_b:
+                old_leaves = [leaf for b in long_b for leaf in prev_chains[b]]
+                old = self._reader_for(prev, name, with_tomb=True).parquet(
+                    *(os.path.join(self.root, s) for s in old_leaves)
+                )
+                folded = _fold_latest_wins(
+                    old.unionByName(rows.where(bcol.isin([int(b) for b in long_b]))),
+                    key,
+                    order,
+                    n,
+                )
+                rel_fold = os.path.join("tables", name, f"snap-{n:08d}-fold")
+                _write_bucketed(folded, bucket_of, rel_fold, len(long_b))
+                for b in long_b:
+                    leaf = os.path.join(rel_fold, f"_pb={b}")
+                    chain_updates[b] = (
+                        [leaf]
+                        if os.path.isdir(os.path.join(self.root, leaf))
+                        else []  # bucket fully drained by tombstones
+                    )
+            return name, touched, schema_json, {
+                "chains": chain_updates,
+                "mor": {"key": key, "order": order},
+            }
 
         # The snapshot writes are independent Spark jobs — submit them
         # concurrently so per-commit latency is max(write) not sum(write)
@@ -285,6 +442,7 @@ class Catalog:
         else:
             results = [run(u) for u in units]
 
+        mor_registry: dict[str, dict] = dict(prev.get("mor", {}))
         for kind, res in results:
             if kind == "plain":
                 mode, name, rel = res
@@ -293,9 +451,17 @@ class Catalog:
                 else:
                     tables.setdefault(name, []).append(rel)
             else:
-                name, touched, schema_json = res
+                name, touched, schema_json, mor_res = res
                 schemas[name] = schema_json
-                if touched:
+                if mor_res is not None:
+                    tmap = parts.setdefault(name, {})
+                    for b, chain in mor_res["chains"].items():
+                        if chain:
+                            tmap[str(b)] = chain
+                        else:
+                            tmap.pop(str(b), None)
+                    mor_registry[name] = mor_res["mor"]
+                elif touched:
                     tmap = parts.setdefault(name, {})
                     rel = os.path.join("tables", name, f"snap-{n:08d}")
                     for b in touched:
@@ -311,6 +477,7 @@ class Catalog:
             "tables": tables,
             "parts": parts,
             "schemas": schemas,
+            "mor": mor_registry,
             # meta carries forward when not explicitly replaced (a
             # maintenance commit must not wipe checkpoint state)
             "meta": meta if meta is not None else prev.get("meta", {}),
@@ -364,8 +531,10 @@ class Catalog:
             for segs in m["tables"].values():
                 live.update(segs)
             for tmap in m.get("parts", {}).values():
-                # a bucket leaf keeps its whole snapshot dir alive
-                live.update(os.path.dirname(leaf) for leaf in tmap.values())
+                # a bucket leaf (or any leaf of a MOR chain) keeps its whole
+                # snapshot dir alive
+                for v in tmap.values():
+                    live.update(os.path.dirname(leaf) for leaf in _chain(v))
         tables_dir = os.path.join(self.root, "tables")
         for tname in os.listdir(tables_dir):
             tdir = os.path.join(tables_dir, tname)

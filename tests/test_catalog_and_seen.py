@@ -256,6 +256,106 @@ class TestBucketedMerge:
         assert got[3] == "u3" and len(got) == 64
 
 
+class TestMergeOnRead:
+    """Merge-on-read commits (r4): O(delta) writes via per-bucket chain
+    appends, latest-wins fold on read, tombstoned deletes, bounded chains
+    (inline fold past the cap), compaction reset — the fix for the O(table)
+    write amplification the 1M-page soak measured under copy-on-write once
+    a uniform-hash delta touches every bucket."""
+
+    def _cat(self, spark):
+        import tempfile as tf
+
+        from pyspark.sql import functions as F
+
+        cat = Catalog(spark, tf.mkdtemp(prefix="morcat_"))
+        bucket_of = lambda df: F.pmod(F.col("k").cast("long"), F.lit(4))  # noqa: E731
+        mk = lambda rows: spark.createDataFrame(rows, "k int, v string")  # noqa: E731
+        return cat, bucket_of, mk
+
+    def test_upsert_delete_reinsert_fold(self, spark):
+        cat, bucket_of, mk = self._cat(spark)
+        cat.commit(merges={"t": dict(delta=mk([(1, "a"), (2, "b"), (5, "c")]), key="k", bucket_of=bucket_of)})
+        # MOR: upsert k=1, insert k=9, tombstone k=2 — no old-bucket read
+        cat.commit(
+            merges={
+                "t": dict(
+                    delta=mk([(1, "A"), (9, "z")]),
+                    key="k",
+                    bucket_of=bucket_of,
+                    deletes=spark.createDataFrame([(2,)], "k int"),
+                    mor=True,
+                )
+            }
+        )
+        assert sorted((r.k, r.v) for r in cat.read("t").collect()) == [
+            (1, "A"), (5, "c"), (9, "z"),
+        ]
+        # bucket read folds too
+        assert sorted((r.k, r.v) for r in cat.read_buckets("t", [1]).collect()) == [
+            (1, "A"), (5, "c"), (9, "z"),
+        ]
+        # a later re-insert beats the earlier tombstone (commit order wins)
+        cat.commit(merges={"t": dict(delta=mk([(2, "B2")]), key="k", bucket_of=bucket_of, mor=True)})
+        assert (2, "B2") in {(r.k, r.v) for r in cat.read("t").collect()}
+
+    def test_chain_cap_inline_fold_and_compaction(self, spark):
+        cat, bucket_of, mk = self._cat(spark)
+        cat.commit(merges={"t": dict(delta=mk([(1, "a"), (5, "c")]), key="k", bucket_of=bucket_of)})
+        for i in range(5):
+            cat.commit(
+                merges={
+                    "t": dict(
+                        delta=mk([(1, f"v{i}")]), key="k", bucket_of=bucket_of,
+                        mor=True, mor_max_chain=2,
+                    )
+                }
+            )
+        chains = cat.latest()["parts"]["t"]
+        lens = {b: (len(c) if isinstance(c, list) else 1) for b, c in chains.items()}
+        assert max(lens.values()) <= 2  # cap held by inline folds
+        rows = sorted((r.k, r.v) for r in cat.read("t").collect())
+        assert rows == [(1, "v4"), (5, "c")]
+        # compaction folds every chain back to a single base; values intact
+        cat.compact("t", bucket_of)
+        chains2 = cat.latest()["parts"]["t"]
+        assert all(not isinstance(c, list) or len(c) == 1 for c in chains2.values())
+        assert sorted((r.k, r.v) for r in cat.read("t").collect()) == rows
+        # expire keeps every live chain leaf
+        cat.expire_snapshots(keep_last=1)
+        assert sorted((r.k, r.v) for r in cat.read("t").collect()) == rows
+
+    def test_mor_write_is_delta_sized(self, spark):
+        """The point of MOR: a commit's write I/O must not grow with table
+        size.  Build a 20k-row table, then commit a 10-row MOR delta — the
+        new snapshot dir's bytes must be a tiny fraction of the base's."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        cat, bucket_of, mk = self._cat(spark)
+        base = spark.range(20_000).select(
+            F.col("id").cast("int").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        )
+        cat.commit(merges={"t": dict(delta=base, key="k", bucket_of=bucket_of)})
+
+        def snap_bytes(rel):
+            tot = 0
+            for root, _d, files in os.walk(os.path.join(cat.root, rel)):
+                tot += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            return tot
+
+        base_rel = f"tables/t/snap-{0:08d}"
+        delta = mk([(i, "d") for i in range(10)])
+        cat.commit(merges={"t": dict(delta=delta, key="k", bucket_of=bucket_of, mor=True)})
+        delta_rel = f"tables/t/snap-{1:08d}-mor"
+        assert snap_bytes(delta_rel) < snap_bytes(base_rel) / 4
+        # and the folded read still sees exactly one live row per key
+        assert cat.read("t").count() == 20_000
+        assert {r.v for r in cat.read_buckets("t", [0]).collect() if r.k < 10} == {"d"}
+
+
 class TestCompaction:
     @staticmethod
     def _bucket8(df):
