@@ -338,8 +338,16 @@ def soak_drain(pages: int) -> dict:
         # the sized soak must cross ≥1 capacity rebuild on top of the
         # initial bloom build (full seen reads ≡ rebuilds under delta-fold)
         "bloom_rebuild_crossed": len(rebuild_batches) >= 2,
-        # dead (unreferenced) data stays a bounded fraction of the catalog
-        "dead_data_bounded": dead_frac < 0.5,
+        # dead (unreferenced) bytes stay bounded relative to LIVE data.
+        # Under MOR the steady-state garbage is the inline bucket folds:
+        # each bucket folds every ~mor_max_chain (16) commits, and expiry
+        # runs every 64 batches, so up to ~expiry/cap ≈ 4 fold generations
+        # of each bucket can be dead at once — dead ≤ ~4-5× live is the
+        # design bound (measured 2.3× on the 1M soak; copy-on-write
+        # measured ~9× with 3× the absolute bytes).  An unbounded leak
+        # (expire broken, chains never folded) blows straight past this.
+        "dead_data_bounded": (disk_before_final_expire - disk_live)
+        <= 5.0 * max(disk_live, 1.0),
         "drained_everything": fetched >= pages * 0.99,
     }
     out = {
