@@ -246,7 +246,9 @@ _PAIRS_MEMO: dict = {}
 
 
 def _shared_pairs(spark, sf):
-    key = (id(spark), sf, 32, 16, 0.5)
+    # keyed by applicationId, not id(spark): CPython reuses object ids after
+    # GC, which could silently serve a dead session's frame (r4 ADVICE)
+    key = (spark.sparkContext.applicationId, sf, 32, 16, 0.5)
     if key not in _PAIRS_MEMO:
         from govuk_crawler_worker_spark.operators.dedup import minhash_lsh_pairs
 
@@ -282,7 +284,7 @@ def _dedup_clusters(spark, sf):
     components with a recursive CTE.  Memoized like the pair stage —
     drop_near_dups composes on the SAME clusters frame instead of re-running
     the contraction rounds."""
-    key = (id(spark), sf)
+    key = (spark.sparkContext.applicationId, sf)
     if key not in _CLUSTERS_MEMO:
         from govuk_crawler_worker_spark.operators.dedup import dedup_clusters
 

@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 # chain cap (a bucket whose chain would exceed this is folded inline by the
 # committing batch — bounded read fan-in, amortized O(chain) fold cost)
 _TOMB = "_tomb"
+_SEQ = "_mor_seq"  # explicit commit-seq stamp on a live MOR delta (fold input only)
 MOR_MAX_CHAIN = 16
 
 
@@ -73,22 +74,31 @@ def _fold_latest_wins(df: DataFrame, key: str, order: str | None, cur_seq: int):
     effect); the marker column never leaves the catalog."""
     from pyspark.sql import functions as F
 
-    data_cols = [c for c in df.columns if c != _TOMB]
+    data_cols = [c for c in df.columns if c not in (_TOMB, _SEQ)]
     # seq/tomb are projected BEFORE the aggregate: input_file_name() is
     # non-deterministic and must be evaluated at the scan, not inside the
-    # aggregate's arguments
+    # aggregate's arguments.
+    # Precedence for a row's commit sequence:
+    #   1. an explicit _SEQ column (write_merge_mor stamps the live delta
+    #      with the committing sequence — load-bearing: a delta whose
+    #      LINEAGE still scans catalog parquet would otherwise pick up the
+    #      scanned file's OLDER seq from input_file_name() and lose to
+    #      stale chain rows, r4 ADVICE)
+    #   2. the leaf filename's snap-<seq> (rows read back from the chain)
+    #   3. cur_seq (file-less rows with no explicit stamp)
+    seq_sources = []
+    if _SEQ in df.columns:
+        seq_sources.append(F.col(_SEQ).cast("long"))
+    seq_sources += [
+        F.expr(
+            r"try_cast(regexp_extract(input_file_name(), 'snap-(\\d+)', 1) as long)"
+        ),
+        F.lit(cur_seq),
+    ]
     staged = df.select(
         *data_cols,
         F.coalesce(F.col(_TOMB), F.lit(False)).alias(_TOMB),
-        F.coalesce(
-            # try_cast: rows not read from a file (the committing delta in
-            # an inline fold) have no filename → empty match → NULL → this
-            # commit's seq
-            F.expr(
-                r"try_cast(regexp_extract(input_file_name(), 'snap-(\\d+)', 1) as long)"
-            ),
-            F.lit(cur_seq),
-        ).alias("_seq"),
+        F.coalesce(*seq_sources).alias("_seq"),
     )
     ordc = F.col(order) if order else F.lit(0)
     won = staged.groupBy(F.col(key).alias("_k")).agg(
@@ -361,9 +371,15 @@ class Catalog:
                 old_leaves = [leaf for b in long_b for leaf in prev_chains[b]]
                 old = self._reader_for(prev, name, with_tomb=True).parquet(
                     *(os.path.join(self.root, s) for s in old_leaves)
-                )
+                ).withColumn(_SEQ, F.lit(None).cast("long"))
+                # the live delta is stamped with THIS commit's seq explicitly:
+                # a delta whose lineage scans catalog parquet would otherwise
+                # inherit the scanned file's older seq via input_file_name()
+                # and lose the fold to stale chain rows (r4 ADVICE)
+                live = rows.withColumn(_SEQ, F.lit(n).cast("long"))
+                live_b = bucket_of(live).cast("int")
                 folded = _fold_latest_wins(
-                    old.unionByName(rows.where(bcol.isin([int(b) for b in long_b]))),
+                    old.unionByName(live.where(live_b.isin([int(b) for b in long_b]))),
                     key,
                     order,
                     n,

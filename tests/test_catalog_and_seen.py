@@ -325,6 +325,34 @@ class TestMergeOnRead:
         cat.expire_snapshots(keep_last=1)
         assert sorted((r.k, r.v) for r in cat.read("t").collect()) == rows
 
+    def test_inline_fold_stamps_live_delta_seq(self, spark):
+        """A MOR delta whose LINEAGE still scans catalog parquet must not
+        inherit the scanned file's older commit seq during an inline chain
+        fold (r5 fix, r4 ADVICE): pre-fix, input_file_name() stamped such
+        rows with the OLD snap id and newer chain rows silently won."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        cat, bucket_of, mk = self._cat(spark)
+        cat.commit(merges={"t": dict(delta=mk([(1, "a")]), key="k", bucket_of=bucket_of)})
+        cat.commit(
+            merges={"t": dict(delta=mk([(1, "b")]), key="k", bucket_of=bucket_of,
+                              mor=True, mor_max_chain=2)}
+        )
+        # un-checkpointed delta derived from the BASE snapshot's files:
+        # input_file_name() on its rows still says snap-00000000
+        stale_lineage = spark.read.parquet(
+            os.path.join(cat.root, "tables/t/snap-00000000")
+        ).select("k", F.upper(F.col("v")).alias("v"))
+        # chain is at the cap → this commit folds inline; the committing
+        # delta must win over the seq-1 chain row despite its stale lineage
+        cat.commit(
+            merges={"t": dict(delta=stale_lineage, key="k", bucket_of=bucket_of,
+                              mor=True, mor_max_chain=2)}
+        )
+        assert [(r.k, r.v) for r in cat.read("t").collect()] == [(1, "A")]
+
     def test_mor_write_is_delta_sized(self, spark):
         """The point of MOR: a commit's write I/O must not grow with table
         size.  Build a 20k-row table, then commit a 10-row MOR delta — the

@@ -392,3 +392,62 @@ class TestIVF:
         # probing ALL lists must be exact (the nprobe=nlist sanity bound)
         full = {(r["qid"], r["neighbor"]) for r in ivf_topk(emb, q, k=5, nlist=8, nprobe=8).collect()}
         assert full == exact
+
+
+class TestDedupLifecycle:
+    """r5: ANSI short-doc guard + cached-intermediate release (r4 ADVICE)."""
+
+    def _mixed_corpus(self, spark):
+        # two planted near-dups (40 words) PLUS docs shorter than the
+        # shingle width n=3 — one short doc used to abort the whole job
+        # under ANSI mode (sequence(0,-1) descends; wh[i+j] out of range)
+        import random
+
+        rng = random.Random(7)
+        words = [f"w{i}" for i in range(60)]
+        long_a = " ".join(rng.choice(words) for _ in range(40))
+        rows = [
+            (0, long_a),
+            (1, long_a),  # exact dup → guaranteed pair
+            (2, "one"),
+            (3, "one two"),
+            (4, ""),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_short_docs_dont_crash_minhash(self, spark):
+        out = minhash_lsh_pairs(self._mixed_corpus(spark), jaccard_threshold=0.5).collect()
+        pairs = {(r["a"], r["b"]) for r in out}
+        assert (0, 1) in pairs
+        # short docs produce no shingles → never appear in a pair
+        assert all(a not in (2, 3, 4) and b not in (2, 3, 4) for a, b in pairs)
+
+    def test_short_docs_dont_crash_string_shingles(self, spark):
+        from govuk_crawler_worker_spark.operators.dedup import shingles
+
+        got = shingles(self._mixed_corpus(spark), n=3).collect()
+        assert all(r["doc_id"] in (0, 1) for r in got)
+        assert len(got) > 0
+
+    def test_repeated_calls_release_cached_intermediates(self, spark):
+        """minhash_lsh_pairs persists three intermediates and simhash_pairs
+        one; both must release them once the verified result materializes —
+        a long-lived service calling these repeatedly must not accrete
+        cached blocks (r4 VERDICT 'what's wrong #1')."""
+        from govuk_crawler_worker_spark.operators.dedup import simhash_pairs
+
+        docs = self._mixed_corpus(spark)
+
+        def n_persistent():
+            return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+        base = n_persistent()
+        r1 = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+        r2 = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+        s1 = simhash_pairs(docs)
+        s2 = simhash_pairs(docs)
+        # only the four localCheckpointed RESULTS may remain registered —
+        # with the leak this would be base + 4 + 2*3 + 2*1 = base + 12
+        assert n_persistent() - base <= 4
+        assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+        assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
