@@ -358,6 +358,43 @@ def _doc_fingerprints(spark, sf):
     return doc_fingerprints(_t(spark, sf, "documents"))
 
 
+def _doc_fingerprints_sanity(spark, sf):
+    """Planted-duplicate truth table for the rolling-hash fingerprint (the
+    audio/image sanity pattern): 12 docs in 4 groups — two groups exact
+    duplicates of each other's members, two groups near-identical texts
+    differing by ONE character.  For every ordered pair,
+    fingerprint(a) == fingerprint(b) ⟺ group(a) == group(b), which DuckDB
+    states as pure id arithmetic ((a%4)=(b%4)) with no knowledge of the
+    hash — a full VALUE oracle over equality structure (engine-hash values
+    themselves stay rows-only in `doc_fingerprints`)."""
+    core = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    )
+    bases = {
+        0: core + " alpha",
+        1: core + " beta",
+        2: core + " gamma x",
+        3: core + " gamma y",  # near-identical to group 2: one char differs
+    }
+    docs = spark.createDataFrame(
+        [(i, bases[i % 4]) for i in range(12)], "doc_id long, text string"
+    )
+    from govuk_crawler_worker_spark.operators.text import doc_fingerprints
+
+    fp = doc_fingerprints(docs)
+    return (
+        fp.alias("l")
+        .join(fp.alias("r"), F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            (F.col("l.fingerprint") == F.col("r.fingerprint")).alias("same_fp"),
+        )
+        .orderBy("a", "b")
+    )
+
+
 def _ann_ivf_topk(spark, sf):
     """IVF ANN (distributed k-means coarse quantizer + inverted-list probe);
     rows-only by design — candidates depend on the seeded quantizer."""
@@ -687,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _token_counts,
         "language_id": _language_id,
         "doc_fingerprints": _doc_fingerprints,
+        "doc_fingerprints_sanity": _doc_fingerprints_sanity,
         "sessionize": _sessionize,
         "curate_corpus": _curate_corpus,
         "image_features": _image_features,
@@ -937,6 +975,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_banding_complete": """
             SELECT CAST(0 AS BIGINT) AS n_missed, true AS banding_complete
+        """,
+        "doc_fingerprints_sanity": """
+            SELECT l.r AS a, b.r AS b, (l.r % 4) = (b.r % 4) AS same_fp
+            FROM range(12) l(r) JOIN range(12) b(r) ON l.r < b.r
+            ORDER BY a, b
         """,
         "audio_features_sanity": """
             SELECT 'clip-' || CAST(r AS VARCHAR) AS clip_id,

@@ -15,6 +15,11 @@ otherwise):
     HEALTHCHECK_PORT     optional /healthcheck HTTP port (0 = ephemeral)
     MAX_BATCHES          drain budget (default: run to empty frontier)
     SPARK_MASTER         default local[*]
+    SEEN_BUCKETS         seen-table bucket count for NEW catalogs (default 32)
+    FRONTIER_HOST_BUCKETS  frontier host-bucket count for NEW catalogs (default 8)
+    BLOOM_SEGMENTS       segmented-bloom row count (default 16)
+    COMPACT_BATCHES      MOR/TTL compaction cadence in batches (default 1024)
+    FETCH_ROBOTS         1 = live robots.txt fetch + enforcement (default 0)
 
 The wiring is exactly the tested components: Catalog (atomic resume),
 HttpFetcher (paced real GETs; injectable opener for tests), DrainLoop
@@ -64,6 +69,15 @@ def main(env=None, spark=None, opener=None, progress=None):
         cfg,
         fetcher=fetcher,
         mirror_root=e.get("MIRROR_ROOT") or None,
+        # state-table bucket geometry: applied to NEW catalogs (stamped into
+        # the seed commit); a stamped catalog's stored counts win on resume
+        seen_buckets=int(e.get("SEEN_BUCKETS", "0")) or None,
+        frontier_host_buckets=int(e.get("FRONTIER_HOST_BUCKETS", "0")) or None,
+        bloom_segments=int(e.get("BLOOM_SEGMENTS", "0")) or None,
+        compact_batches=int(e.get("COMPACT_BATCHES", "1024")),
+        # live robots.txt fetch+enforcement (one GET/host/TTL); static
+        # config rules always apply regardless
+        fetch_robots=e.get("FETCH_ROBOTS", "0") == "1",
     )
 
     # seed only a FRESH catalog: an empty frontier on an existing catalog

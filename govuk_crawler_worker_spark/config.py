@@ -54,6 +54,9 @@ class CrawlConfig:
 
     # robots.txt-style per-host path-prefix disallow rules (north rule).
     robots_disallow: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    # refresh horizon for LIVE-fetched robots.txt rules (DrainLoop
+    # fetch_robots=True; seconds → batches via batch_period_s, like the TTL)
+    robots_ttl_s: float = 24 * 3600.0
 
     # Skew: number of salt buckets a hot host is split into for the
     # politeness groupBy (salted applyInPandas buckets).

@@ -52,7 +52,12 @@ class StreamingDrain:
             # same periodic maintenance the batch drain runs: long streaming
             # crawls must not grow disk per tick
             self.loop.catalog.expire_snapshots(keep_last=8)
-        if (b + 1) % 256 == 0:
+        cb = self.loop.compact_batches
+        if cb and (b + 1) % cb == 0:
+            # batch-drain parity: periodic MOR-chain fold + physical TTL
+            # reclaim (compact_seen piggy-backs reconcile_frontier)
+            self.loop.compact_seen()
+        elif (b + 1) % 256 == 0:
             # batch-drain parity: bound the (over-count-only) frontier meta
             # drift on long streaming crawls too
             self.loop.reconcile_frontier()
