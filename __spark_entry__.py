@@ -377,12 +377,22 @@ def _doc_fingerprints_sanity(spark, sf):
         2: core + " gamma x",
         3: core + " gamma y",  # near-identical to group 2: one char differs
     }
+    # pandas input (Arrow → JVM LocalRelation, like the audio/image sanity
+    # queries) + eager checkpoint before the self-join: a row-list
+    # createDataFrame is a python-RDD scan parallelized over
+    # defaultParallelism partitions, and the non-equi join below is a
+    # CartesianProduct — 16×16 python-eval tasks of fixed latency dominated
+    # (measured ~8 s for this 66-row result; ~1 s this way)
+    import pandas as pd
+
     docs = spark.createDataFrame(
-        [(i, bases[i % 4]) for i in range(12)], "doc_id long, text string"
+        pd.DataFrame(
+            {"doc_id": list(range(12)), "text": [bases[i % 4] for i in range(12)]}
+        )
     )
     from govuk_crawler_worker_spark.operators.text import doc_fingerprints
 
-    fp = doc_fingerprints(docs)
+    fp = doc_fingerprints(docs).localCheckpoint(eager=True)
     return (
         fp.alias("l")
         .join(fp.alias("r"), F.col("l.doc_id") < F.col("r.doc_id"))

@@ -37,6 +37,45 @@ def test_streaming_drain_matches_sim(spark):
     assert len(sd.batches_run) >= 3
 
 
+def test_streaming_drain_compacts_on_cadence(spark):
+    """Batch-drain parity for the r5 maintenance cadence: a StreamingDrain
+    tick crossing compact_batches must call compact_seen (MOR chains folded
+    to single base leaves) and the crawl result must equal the simulator."""
+    world = build_world(n_pages=15, seed=23)
+    payload, content, seeds = world_to_spark(spark, world)
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="sdraincmp_"))
+    loop = DrainLoop(
+        spark, catalog, world.config, content.cache(), payload.cache(),
+        bloom_min_batch=0,  # MOR chains grow from batch 0
+        compact_batches=2,
+    )
+    calls = []
+    orig = loop.compact_seen
+
+    def spy():
+        orig()
+        parts = catalog.latest()["parts"].get("seen", {})
+        assert all(not isinstance(c, list) or len(c) == 1 for c in parts.values())
+        calls.append(1)
+
+    loop.compact_seen = spy
+    loop.seed(seeds)
+    sd = StreamingDrain(loop, ticks_per_second=5.0)
+    query = sd.start(spark)
+    try:
+        sd.process_available(timeout_s=180.0)
+    finally:
+        sd.stop()
+        query.awaitTermination(10)
+    assert calls, "streaming compaction cadence never fired"
+    sim = simulate(world.content, world.seeds, world.config)
+    engine = sorted(
+        (r["batch_id"], r["url_canon"])
+        for r in catalog.read("fetched").select("batch_id", "url_canon").collect()
+    )
+    assert engine == sorted((f["batch_id"], f["url_canon"]) for f in sim.fetched)
+
+
 class TestStatefulPolitenessAudit:
     """applyInPandasWithState: per-host last-fetch state must carry ACROSS
     micro-batches — a violation spanning two files/batches is only visible
