@@ -281,6 +281,15 @@ def soak_drain(pages: int) -> dict:
         # (~120-130 batches) crosses it at least once — the production
         # default is 1024
         compact_batches=96,
+        # optional non-default bucket geometry (r5): evidences that the
+        # drain holds at production-style counts, e.g.
+        # BENCH_SOAK_SEEN_BUCKETS=128 python bench.py --soak 60000
+        seen_buckets=int(os.environ.get("BENCH_SOAK_SEEN_BUCKETS", "0")) or None,
+        frontier_host_buckets=int(
+            os.environ.get("BENCH_SOAK_FRONTIER_BUCKETS", "0")
+        )
+        or None,
+        bloom_segments=int(os.environ.get("BENCH_SOAK_BLOOM_SEGMENTS", "0")) or None,
     )
     # rebuild counting: under delta-fold, _bloom_for_batch returning
     # rebuilt=True is exactly a full-seen-scan rebuild (the small-regime
@@ -375,6 +384,7 @@ def soak_drain(pages: int) -> dict:
     }
     out = {
         "pages": pages,
+        "bucket_scheme": dict(loop.bucket_scheme),
         "fetched": fetched,
         "batches": len(stats),
         "total_sec": round(dt, 1),

@@ -186,3 +186,27 @@ class TestRobotsFetchDrain:
         # the (empty) rules row is still committed so the TTL applies
         rules = {r["host"]: list(r["prefixes"]) for r in catalog.read("robots").collect()}
         assert rules == {host: []}
+
+
+class TestParseRobotsEdgeCases:
+    def test_crlf_and_mixed_case_keys(self):
+        txt = "USER-AGENT: *\r\nDisAllow: /a\r\n\r\nSitemap: https://x/s.xml\r\n"
+        assert parse_robots(txt) == ["/a"]
+
+    def test_rules_before_any_agent_are_ignored(self):
+        # a headerless rule belongs to no group (RFC 9309: groups start
+        # with user-agent lines)
+        assert parse_robots("Disallow: /early\nUser-agent: *\nDisallow: /x\n") == ["/x"]
+
+    def test_two_star_groups_first_specificity_tie(self):
+        txt = "User-agent: *\nDisallow: /one\n\nUser-agent: *\nDisallow: /two\n"
+        # tie on specificity: a deterministic single group wins (the first)
+        assert parse_robots(txt) == ["/one"]
+
+    def test_agent_case_insensitive(self):
+        txt = "User-agent: GOVUK_CRAWLER_WORKER_SPARK\nDisallow: /mine\n"
+        assert parse_robots(txt) == ["/mine"]
+
+    def test_garbage_lines_ignored(self):
+        txt = "not a directive\nUser-agent: *\n<<<>>>\nDisallow: /ok\n"
+        assert parse_robots(txt) == ["/ok"]
