@@ -365,8 +365,9 @@ def _doc_fingerprints_sanity(spark, sf):
     differing by ONE character.  For every ordered pair,
     fingerprint(a) == fingerprint(b) ⟺ group(a) == group(b), which DuckDB
     states as pure id arithmetic ((a%4)=(b%4)) with no knowledge of the
-    hash — a full VALUE oracle over equality structure (engine-hash values
-    themselves stay rows-only in `doc_fingerprints`)."""
+    hash — a full VALUE oracle over equality structure (the hash VALUES are
+    additionally oracled in `doc_fingerprints` via DuckDB's independent
+    HUGEINT recomputation of the public Horner/Mersenne-61 spec)."""
     core = (
         "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
         "eiusmod tempor incididunt ut labore et dolore magna aliqua"
@@ -990,6 +991,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.r AS a, b.r AS b, (l.r % 4) = (b.r % 4) AS same_fp
             FROM range(12) l(r) JOIN range(12) b(r) ON l.r < b.r
             ORDER BY a, b
+        """,
+        # full value oracle: DuckDB recomputes the SAME public hash spec
+        # (Horner over codepoints, base 1000003, mod Mersenne 2^61-1)
+        # independently — HUGEINT keeps acc*B+c exact (< 2^81), so this
+        # checks every fingerprint VALUE, not just equality structure
+        "doc_fingerprints": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                        ELSE CAST(list_reduce(
+                            list_transform(string_split(text, ''),
+                                           c -> CAST(unicode(c) AS HUGEINT)),
+                            (acc, c) -> (acc * 1000003 + c)
+                                        % CAST(2305843009213693951 AS HUGEINT)
+                        ) AS BIGINT)
+                   END AS fingerprint
+            FROM documents
         """,
         "audio_features_sanity": """
             SELECT 'clip-' || CAST(r AS VARCHAR) AS clip_id,
