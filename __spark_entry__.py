@@ -8,21 +8,24 @@ payload rows).
 training-data-pipeline operators (dedup family, similarity search, text
 analysis), each runnable on the driver's parquet tables at any sf dir.
 
-``oracle_sql()``   — matching ANSI SQL for DuckDB cross-checks.  31 of 36
-queries are value-checked, including a FULL value oracle for MinHash-LSH
+``oracle_sql()``   — matching ANSI SQL for DuckDB cross-checks.  36 of 39
+queries are value-checked, including FULL value oracles for MinHash-LSH
 (band parameters make recall provably 1.0 on this data, so LSH output equals
 the exhaustive shingle-jaccard pair set), duplicate-CLUSTER formation over
 that pair set (connected components — DuckDB recomputes them with a
-recursive CTE), driver-checked recall floors for
-BOTH ANN paths (sign-LSH and IVF), and a driver-checked completeness proof
-for the simhash Manku banding (pigeonhole ⇒ zero missed pairs vs the
-exhaustive hamming self-join), and an analytic truth-table oracle for the
-audio features (REAL RIFF/WAVE PCM codec; sine clips with known RMS/ZCR/
-duration).  The 5 rows-only entries (raw simhash pairs,
-raw LSH/IVF ANN top-k, polynomial fingerprint, image features) are genuinely
-engine-hash/quantizer-dependent or non-SQL-expressible; each carries a
-pytest — and for simhash/ANN a value-checked property query here — pinning
-its semantics.
+recursive CTE), SimHash near-dup pairs (DuckDB re-derives XXH64(seed 42)
+itself from the public spec in HUGEINT arithmetic — ``functions/
+xxh64_sql.py`` — then the majority-vote signatures and the exhaustive
+hamming-≤3 pair set), and the polynomial document fingerprint (HUGEINT
+Horner recomputation); driver-checked recall floors for BOTH ANN paths
+(sign-LSH and IVF); a driver-checked completeness proof for the simhash
+Manku banding (pigeonhole ⇒ zero missed pairs vs the exhaustive hamming
+self-join); and analytic truth-table oracles for the audio/image features
+(REAL RIFF/WAVE PCM + PNG codecs; sine clips and solid/gradient images with
+closed-form features).  The 3 rows-only entries (raw LSH/IVF ANN top-k,
+image features over world payloads) are genuinely quantizer-dependent or
+non-SQL-expressible; each carries a pytest — and for ANN a value-checked
+property query here — pinning its semantics.
 """
 
 from __future__ import annotations
@@ -750,6 +753,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Full value oracle for ``dedup_simhash``: DuckDB independently
+    recomputes the ENTIRE pipeline from public specs — XXH64(seed 42) over
+    each token's UTF-8 bytes (exact mod-2^64 arithmetic in HUGEINT, see
+    ``functions/xxh64_sql.py``), the 64-plane majority vote (votes > 0 →
+    bit 1), and the exhaustive hamming-≤h pair set.  The engine's Manku
+    banding is provably complete (pigeonhole; also pinned by the
+    ``simhash_banding_complete`` query), so the banded output must equal
+    the exhaustive set — checked value-by-value, including the hamming
+    distances.  Tokens are hashed once per DISTINCT token and weighted by
+    multiplicity, matching ``simhash64``'s per-occurrence vote."""
+    from govuk_crawler_worker_spark.functions.xxh64_sql import (
+        to_int64_sql,
+        utf8_bytes_sql,
+        xxh64_sql,
+    )
+
+    uh = xxh64_sql(utf8_bytes_sql("tok"))  # unsigned 0..2^64-1
+    votes = ",\n                   ".join(
+        f"SUM(c.cnt * (2 * ((h.uh // {1 << i}::HUGEINT) % 2) - 1)) AS v{i}"
+        for i in range(64)
+    )
+    sig_u = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END"
+        for i in range(64)
+    )
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+            ),
+            counts AS (
+              SELECT doc_id, tok, count(*)::HUGEINT AS cnt
+              FROM toks GROUP BY doc_id, tok
+            ),
+            hashes AS (
+              SELECT tok, {uh} AS uh
+              FROM (SELECT DISTINCT tok FROM counts)
+            ),
+            votes AS (
+              SELECT c.doc_id,
+                   {votes}
+              FROM counts c JOIN hashes h USING (tok)
+              GROUP BY c.doc_id
+            ),
+            sigs AS (
+              SELECT doc_id, {to_int64_sql(f"({sig_u})")} AS sh FROM votes
+            )
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   bit_count(xor(l.sh, r.sh)) AS hamming
+            FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.sh, r.sh)) <= {max_hamming}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "claim_topk": """
@@ -984,6 +1041,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT vec_id AS qid, true AS recall_ok
             FROM embeddings WHERE vec_id % 100 = 0
         """,
+        "dedup_simhash": _simhash_oracle_sql(max_hamming=3),
         "simhash_banding_complete": """
             SELECT CAST(0 AS BIGINT) AS n_missed, true AS banding_complete
         """,
