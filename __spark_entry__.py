@@ -8,7 +8,7 @@ payload rows).
 training-data-pipeline operators (dedup family, similarity search, text
 analysis), each runnable on the driver's parquet tables at any sf dir.
 
-``oracle_sql()``   — matching ANSI SQL for DuckDB cross-checks.  36 of 39
+``oracle_sql()``   — matching ANSI SQL for DuckDB cross-checks.  37 of 39
 queries are value-checked, including FULL value oracles for MinHash-LSH
 (band parameters make recall provably 1.0 on this data, so LSH output equals
 the exhaustive shingle-jaccard pair set), duplicate-CLUSTER formation over
@@ -16,16 +16,21 @@ that pair set (connected components — DuckDB recomputes them with a
 recursive CTE), SimHash near-dup pairs (DuckDB re-derives XXH64(seed 42)
 itself from the public spec in HUGEINT arithmetic — ``functions/
 xxh64_sql.py`` — then the majority-vote signatures and the exhaustive
-hamming-≤3 pair set), and the polynomial document fingerprint (HUGEINT
-Horner recomputation); driver-checked recall floors for BOTH ANN paths
-(sign-LSH and IVF); a driver-checked completeness proof for the simhash
-Manku banding (pigeonhole ⇒ zero missed pairs vs the exhaustive hamming
-self-join); and analytic truth-table oracles for the audio/image features
-(REAL RIFF/WAVE PCM + PNG codecs; sine clips and solid/gradient images with
-closed-form features).  The 3 rows-only entries (raw LSH/IVF ANN top-k,
-image features over world payloads) are genuinely quantizer-dependent or
-non-SQL-expressible; each carries a pytest — and for ANN a value-checked
-property query here — pinning its semantics.
+hamming-≤3 pair set), sign-LSH ANN top-k (the hyperplanes are integer
+splitmix64 draws and the sign decision is exact int64 arithmetic over
+floor-scaled vectors, so DuckDB re-derives the identical bucket ids,
+candidate set, and re-ranked top-k — ``_ann_lsh_oracle_sql``), and the
+polynomial document fingerprint (HUGEINT Horner recomputation);
+driver-checked recall floors for BOTH ANN paths (sign-LSH and IVF); a
+driver-checked completeness proof for the simhash Manku banding (pigeonhole
+⇒ zero missed pairs vs the exhaustive hamming self-join); and analytic
+truth-table oracles for the audio/image features (REAL RIFF/WAVE PCM + PNG
+codecs; sine clips and solid/gradient images with closed-form features).
+The 2 rows-only entries (IVF ANN top-k — candidates depend on float k-means
+centroids no external engine reproduces bit-for-bit — and image features
+over world payloads) are genuinely quantizer-dependent or
+non-SQL-expressible; each carries a pytest — and for IVF a value-checked
+recall-floor query here — pinning its semantics.
 """
 
 from __future__ import annotations
@@ -330,6 +335,10 @@ def _cosine_topk(spark, sf):
 
 
 def _ann_lsh_topk(spark, sf):
+    """Multi-table sign-LSH ANN — FULL value oracle: integer splitmix64
+    hyperplanes + exact int64 sign arithmetic make the bucket ids (hence the
+    candidate set and the re-ranked top-k) reproducible bit-for-bit in
+    DuckDB (``_ann_lsh_oracle_sql``)."""
     from govuk_crawler_worker_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf, "embeddings")
@@ -807,6 +816,73 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
         """
 
 
+def _ann_lsh_oracle_sql(
+    dim: int = 64, n_planes: int = 4, n_tables: int = 8, seed: int = 42, k: int = 5
+) -> str:
+    """Full value oracle for ``ann_lsh_topk``: DuckDB independently
+    recomputes the ENTIRE multi-table sign-LSH pipeline from public specs.
+    The engine's hyperplanes are integer-valued draws from a splitmix64
+    counter stream and the sign decision is exact int64 arithmetic over
+    floor-scaled vectors (``operators/similarity.py``), so the oracle
+    re-derives identical bucket ids — plane weights via the same public
+    mixer (HUGEINT, ``functions/xxh64_sql.py:splitmix64_sql``), quantization
+    via the same exact ``floor(v·2^20)`` — then forms the same candidate set
+    (any shared (table, bucket)), exact-cosine re-ranks, and emits top-k.
+    No float-summation ambiguity anywhere in candidate generation; the
+    re-rank's 4-dp rounded cosine is the formulation already hash-proven by
+    the ``cosine_topk`` oracle over the full pair universe."""
+    from govuk_crawler_worker_spark.functions.xxh64_sql import splitmix64_sql
+
+    total = n_planes * n_tables
+    sm = splitmix64_sql(f"CAST({seed} AS HUGEINT) * 4294967296 + i")
+    return f"""
+            WITH plane_ix AS (
+              SELECT CAST(r AS HUGEINT) AS i FROM range({total * dim}) t(r)
+            ),
+            planes AS (
+              SELECT CAST(i AS BIGINT) // {dim} AS p, CAST(i AS BIGINT) % {dim} AS j,
+                     CAST(({sm}) % {2 * (1 << 20)} AS BIGINT) - {1 << 20} AS w
+              FROM plane_ix
+            ),
+            vecq AS (
+              SELECT vec_id, j,
+                     CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * {1 << 20})
+                          AS BIGINT) AS q
+              FROM embeddings, range({dim}) t(j)
+            ),
+            signs AS (
+              SELECT v.vec_id, pl.p, (sum(v.q * pl.w) > 0) AS bit
+              FROM vecq v JOIN planes pl USING (j)
+              GROUP BY v.vec_id, pl.p
+            ),
+            bucks AS (
+              SELECT vec_id, p // {n_planes} AS tbl,
+                     sum(CASE WHEN bit THEN (1 << (p % {n_planes})) ELSE 0 END)
+                       AS bucket
+              FROM signs GROUP BY vec_id, p // {n_planes}
+            ),
+            cand AS (
+              SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS neighbor
+              FROM bucks qb JOIN bucks cb
+                ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+              WHERE qb.vec_id % 100 = 0 AND cb.vec_id != qb.vec_id
+            ),
+            scored AS (
+              SELECT c.qid, c.neighbor,
+                     round(list_cosine_similarity(qe.embedding, ne.embedding), 4)
+                       AS cosine
+              FROM cand c
+              JOIN embeddings qe ON qe.vec_id = c.qid
+              JOIN embeddings ne ON ne.vec_id = c.neighbor
+            )
+            SELECT qid, rank, neighbor, cosine FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY qid ORDER BY cosine DESC, neighbor) AS rank
+              FROM scored
+            ) WHERE rank <= {k}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "claim_topk": """
@@ -1033,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d ANTI JOIN losers l USING (doc_id)
         """,
+        "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_recall_floor": """
             SELECT DISTINCT vec_id AS qid, true AS recall_ok
             FROM embeddings WHERE vec_id % 100 = 0

@@ -210,3 +210,27 @@ def to_int64_sql(u64_expr: str) -> str:
 def xxhash64_of_string_sql(text_expr: str, seed: int = SEED) -> str:
     """Signed-BIGINT XXH64(utf8(text), seed) == Spark ``F.xxhash64(text)``."""
     return to_int64_sql(xxh64_sql(utf8_bytes_sql(text_expr), seed=seed))
+
+
+# splitmix64 finalizer constants (Steele/Lea/Flood, public-domain reference)
+_SM_GOLDEN = 0x9E3779B97F4A7C15
+_SM_C1 = 0xBF58476D1CE4E5B9
+_SM_C2 = 0x94D049BB133111EB
+
+
+def splitmix64_sql(x_expr: str) -> str:
+    """HUGEINT (unsigned, 0..2^64-1) splitmix64 finalizer of ``x_expr``
+    (a non-negative HUGEINT, reduced mod 2^64) — matches the vectorized
+    numpy mixer in ``operators/similarity.py`` / ``operators/dedup.py``
+    bit-for-bit, so plane/permutation streams seeded from counters can be
+    re-derived inside a DuckDB oracle."""
+    body = _xor("z4", "z4 // 2147483648")  # z ^= z >> 31
+    for name, value in (
+        ("z4", _mul64("z3", str(_SM_C2))),
+        ("z3", _xor("z2", "z2 // 134217728")),  # z ^= z >> 27
+        ("z2", _mul64("z1", str(_SM_C1))),
+        ("z1", _xor("z0", "z0 // 1073741824")),  # z ^= z >> 30
+        ("z0", _add64(f"({x_expr}) % {M64}", str(_SM_GOLDEN))),
+    ):
+        body = _let(name, value, body)
+    return body

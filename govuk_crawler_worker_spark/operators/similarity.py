@@ -72,8 +72,49 @@ def brute_force_topk(
     )
 
 
+#: fixed-point scale for the sign decision: vectors are floor-scaled by 2^20
+#: and planes are integers in [-2^20, 2^20), so every dot product is EXACT
+#: int64 arithmetic (|q|·|w|·dim < 2^63 for |v| < 2^22-ish) — the bucket ids
+#: are reproducible bit-for-bit by any engine, which is what lets DuckDB
+#: recompute them as a full value oracle (``ann_lsh_topk``).
+_QSCALE = 1 << 20
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele/Lea/Flood, public domain
+    reference constants) over uint64 — same mixer family as the minhash
+    permutations (``operators/dedup.py``)."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
 def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
-    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+    """Integer-valued random hyperplanes from a splitmix64 counter stream.
+
+    Sign-LSH needs only directions symmetric about the origin; uniform
+    integer weights in [-2^20, 2^20) serve that in 64-dim while making the
+    sign computation exact integer arithmetic — no float summation-order
+    ambiguity between numpy's matmul and a SQL ``sum()``, so an external
+    oracle (DuckDB) re-derives identical bucket ids from the same public
+    mixer."""
+    with np.errstate(over="ignore"):
+        h = _splitmix64(
+            np.uint64(seed) * np.uint64(1 << 32)
+            + np.arange(n_planes * dim, dtype=np.uint64)
+        )
+    w = (h % np.uint64(2 * _QSCALE)).astype(np.int64) - _QSCALE
+    return w.reshape(n_planes, dim)
+
+
+def _quantize(m: np.ndarray) -> np.ndarray:
+    """floor(v·2^20) as int64 — exact for double input (2^20 scaling is a
+    power of two, floor is exact), identically computable in SQL."""
+    return np.floor(m * float(_QSCALE)).astype(np.int64)
 
 
 def lsh_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
@@ -81,7 +122,7 @@ def lsh_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
 
     @F.pandas_udf("long")
     def bucket(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        m = _quantize(np.stack(vecs.to_numpy()))  # (batch, dim) int64
         signs = (m @ planes.T) > 0  # (batch, n_planes)
         return pd.Series(signs.dot(1 << np.arange(n_planes)).astype(np.int64))
 
@@ -100,7 +141,7 @@ def lsh_buckets_udf(dim: int | None, n_planes: int, n_tables: int, seed: int = 4
 
     @F.pandas_udf("array<long>")
     def buckets(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        m = _quantize(np.stack(vecs.to_numpy()))  # (batch, dim) int64
         p = planes if planes is not None else _planes(
             m.shape[1], n_planes * n_tables, seed
         )

@@ -156,3 +156,44 @@ class TestXxh64Sql:
         assert [r.h for r in rows] == [
             _signed(xxh64_py(t.encode("utf-8"))) for t in tests
         ]
+
+
+class TestSplitmix64Sql:
+    """The DuckDB splitmix64 recomputation must equal the vectorized numpy
+    mixer that seeds the LSH hyperplanes (``operators/similarity.py``) —
+    the equivalence the ``ann_lsh_topk`` full value oracle rests on."""
+
+    def test_matches_numpy_mixer(self):
+        import duckdb
+        import numpy as np
+
+        from govuk_crawler_worker_spark.functions.xxh64_sql import splitmix64_sql
+        from govuk_crawler_worker_spark.operators.similarity import _splitmix64
+
+        xs = [0, 1, 42, 2**31, 2**32, 2**63, 2**64 - 1, 12345678901234567]
+        con = duckdb.connect()
+        got = [
+            int(v)
+            for v in con.execute(
+                "SELECT " + ", ".join(f"({splitmix64_sql(str(x))})" for x in xs)
+            ).fetchone()
+        ]
+        exp = [
+            int(_splitmix64(np.array([x % 2**64], dtype=np.uint64))[0]) for x in xs
+        ]
+        assert got == exp
+
+    def test_plane_weights_recomputable_in_sql(self):
+        import duckdb
+
+        from govuk_crawler_worker_spark.functions.xxh64_sql import splitmix64_sql
+        from govuk_crawler_worker_spark.operators.similarity import _QSCALE, _planes
+
+        dim, n_planes, seed = 64, 32, 42
+        planes = _planes(dim, n_planes, seed)
+        sm = splitmix64_sql(f"CAST({seed} AS HUGEINT) * 4294967296 + CAST(r AS HUGEINT)")
+        rows = duckdb.connect().execute(
+            f"SELECT CAST(({sm}) % {2 * _QSCALE} AS BIGINT) - {_QSCALE}"
+            f" FROM range({n_planes * dim}) t(r) ORDER BY r"
+        ).fetchall()
+        assert [r[0] for r in rows] == list(planes.flatten())
