@@ -290,6 +290,9 @@ def soak_drain(pages: int) -> dict:
         )
         or None,
         bloom_segments=int(os.environ.get("BENCH_SOAK_BLOOM_SEGMENTS", "0")) or None,
+        # MOR chain-cap sensitivity knob (r4 verdict #8): e.g.
+        # BENCH_SOAK_MOR_MAX_CHAIN=8 python bench.py --soak 60000
+        mor_max_chain=int(os.environ.get("BENCH_SOAK_MOR_MAX_CHAIN", "0")) or None,
     )
     # rebuild counting: under delta-fold, _bloom_for_batch returning
     # rebuilt=True is exactly a full-seen-scan rebuild (the small-regime
@@ -385,6 +388,7 @@ def soak_drain(pages: int) -> dict:
     out = {
         "pages": pages,
         "bucket_scheme": dict(loop.bucket_scheme),
+        "mor_max_chain": loop.mor_max_chain or 16,
         "fetched": fetched,
         "batches": len(stats),
         "total_sec": round(dt, 1),

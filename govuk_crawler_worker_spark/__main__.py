@@ -19,6 +19,7 @@ otherwise):
     FRONTIER_HOST_BUCKETS  frontier host-bucket count for NEW catalogs (default 8)
     BLOOM_SEGMENTS       segmented-bloom row count (default 16)
     COMPACT_BATCHES      MOR/TTL compaction cadence in batches (default 1024)
+    MOR_MAX_CHAIN        merge-on-read chain cap before inline fold (default 16)
     FETCH_ROBOTS         1 = live robots.txt fetch + enforcement (default 0)
 
 The wiring is exactly the tested components: Catalog (atomic resume),
@@ -75,6 +76,7 @@ def main(env=None, spark=None, opener=None, progress=None):
         frontier_host_buckets=int(e.get("FRONTIER_HOST_BUCKETS", "0")) or None,
         bloom_segments=int(e.get("BLOOM_SEGMENTS", "0")) or None,
         compact_batches=int(e.get("COMPACT_BATCHES", "1024")),
+        mor_max_chain=int(e.get("MOR_MAX_CHAIN", "0")) or None,
         # live robots.txt fetch+enforcement (one GET/host/TTL); static
         # config rules always apply regardless
         fetch_robots=e.get("FETCH_ROBOTS", "0") == "1",

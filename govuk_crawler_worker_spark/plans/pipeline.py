@@ -163,6 +163,7 @@ class DrainLoop:
         bloom_segments: int | None = None,
         compact_batches: int = 1024,
         fetch_robots: bool = False,
+        mor_max_chain: int | None = None,
     ):
         from govuk_crawler_worker_spark.plans.fetch import TableFetcher
 
@@ -233,6 +234,10 @@ class DrainLoop:
         # MOR-chain + physical-TTL compaction cadence (batches between
         # compact_seen() calls inside _drain; 0/None disables)
         self.compact_batches = int(compact_batches or 0)
+        # merge-on-read chain cap for the state tables (None → catalog
+        # default 16): the read-fold-cost vs write-amplification knob —
+        # see BENCH/BASELINE.md "mor_max_chain sensitivity"
+        self.mor_max_chain = None if mor_max_chain is None else int(mor_max_chain)
         # live robots.txt enforcement (plans/robots.py — beyond-reference
         # production surface): requires a fetcher exposing the opener
         # contract (HttpFetcher); the config-only static rules always apply
@@ -1286,6 +1291,9 @@ class DrainLoop:
                 mor=prune_seen,
             ),
         }
+        if self.mor_max_chain is not None:
+            merges["frontier"]["mor_max_chain"] = self.mor_max_chain
+            merges["seen"]["mor_max_chain"] = self.mor_max_chain
         if robots_merge is not None:
             # freshly fetched robots.txt rules ride the same atomic commit
             merges["robots"] = robots_merge

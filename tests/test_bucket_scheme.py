@@ -173,3 +173,32 @@ class TestCompactionCadence:
         assert calls, "compaction cadence never fired"
         sim = simulate(world.content, world.seeds, world.config)
         assert _fetched_key(catalog.read("fetched").collect()) == _fetched_key(sim.fetched)
+
+
+class TestMorMaxChainKnob:
+    def test_drain_forwards_chain_cap_and_results_unchanged(self, spark):
+        """r4 VERDICT #8: mor_max_chain is the read-fold-cost vs
+        write-amplification knob.  The DrainLoop ctor value must reach the
+        catalog merge spec — a drain at cap=2 (compaction off so chains only
+        shrink via inline folds) ends with every state chain ≤ 2 leaves,
+        at least one chain having actually hit the cap, and sim-equal
+        results."""
+        world, catalog, loop, seeds = _drain_world(
+            spark, seed=29, prefix="morcap_",
+            bloom_min_batch=0,   # MOR state tables from batch 0
+            compact_batches=0,   # no cadence folds — the cap does the work
+            mor_max_chain=2,
+        )
+        assert loop.mor_max_chain == 2
+        loop.seed(seeds)
+        loop.drain(max_batches=60)
+        parts = catalog.latest()["parts"]
+        lens = [
+            (len(c) if isinstance(c, list) else 1)
+            for t in ("seen", "frontier")
+            for c in parts.get(t, {}).values()
+        ]
+        assert lens and max(lens) <= 2, f"chain cap 2 violated: {max(lens)}"
+        assert 2 in lens, "cap never exercised — knob likely not forwarded"
+        sim = simulate(world.content, world.seeds, world.config)
+        assert _fetched_key(catalog.read("fetched").collect()) == _fetched_key(sim.fetched)
