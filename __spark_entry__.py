@@ -428,6 +428,24 @@ def _ann_ivf_topk(spark, sf):
     return ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
 
 
+def _ann_ivf_exhaustive(spark, sf):
+    """Covering-mode IVF — nprobe == nlist, so every inverted list is probed
+    and the candidate set is the whole corpus (each vector lives in exactly
+    one list).  The result must therefore equal the exact cosine top-k
+    REGARDLESS of where the seeded quantizer put the list boundaries, which
+    turns the IVF machinery (coarse assignment, per-list probe join, re-rank
+    merge) into a fully value-checked path: the DuckDB oracle is the same
+    exact top-k SQL as ``cosine_topk``.  The pruned configuration
+    (``ann_ivf_topk``) stays rows-only because its candidates depend on the
+    quantizer; this query proves the plumbing is lossless when coverage is
+    total."""
+    from govuk_crawler_worker_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ivf_topk(emb, queries, k=5, nlist=8, nprobe=8, iters=1)
+
+
 def _ann_recall_floor(spark, sf):
     """Property oracle for the ANN path: every query's top-5 recall vs the
     exact baseline must clear a floor (deterministic given data + seeded
@@ -739,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_ivf_exhaustive": _ann_ivf_exhaustive,
         "ann_recall_floor": _ann_recall_floor,
         "ann_ivf_recall_floor": _ann_ivf_recall_floor,
         "simhash_banding_complete": _simhash_banding_complete,
@@ -1219,6 +1238,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
                    count(*) AS dup_count
             FROM kept GROUP BY md5(text)
+        """,
+        # covering-mode IVF (nprobe == nlist ⇒ candidates = whole corpus):
+        # must equal the exact top-k, so the oracle is the same SQL as
+        # cosine_topk — a full value check of the IVF plumbing
+        "ann_ivf_exhaustive": """
+            SELECT qid, rank, neighbor, cosine FROM (
+              SELECT q.vec_id AS qid, e.vec_id AS neighbor,
+                     round(list_cosine_similarity(q.embedding, e.embedding), 4) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding, e.embedding), 4) DESC,
+                                e.vec_id
+                     ) AS rank
+              FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+              WHERE q.vec_id % 100 = 0
+            ) WHERE rank <= 5
         """,
         "cosine_topk": """
             SELECT qid, rank, neighbor, cosine FROM (
