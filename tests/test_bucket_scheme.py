@@ -202,3 +202,99 @@ class TestMorMaxChainKnob:
         assert 2 in lens, "cap never exercised — knob likely not forwarded"
         sim = simulate(world.content, world.seeds, world.config)
         assert _fetched_key(catalog.read("fetched").collect()) == _fetched_key(sim.fetched)
+
+
+class TestMaintenanceCrashAtomicity:
+    """A crash DURING a maintenance rewrite (compaction or geometry
+    migration) must be invisible: both publish through the catalog's single
+    atomic manifest rename, so dying after the snapshot files are written
+    but before the rename leaves the catalog on the previous commit with
+    identical reads, and the operation simply retries.  (The generic torn-
+    commit reader behavior is pinned in test_catalog_and_seen.py; these pin
+    the two maintenance ENTRY POINTS added in r5.)"""
+
+    @staticmethod
+    def _arm_crash(monkeypatch, root):
+        import os as _os
+
+        real_rename = _os.rename
+        state = {"armed": True}
+
+        def exploding(src, dst):
+            if (
+                state["armed"]
+                and "_commits" in str(dst)
+                and str(dst).endswith(".json")
+                and str(dst).startswith(str(root))
+            ):
+                state["armed"] = False
+                raise RuntimeError("injected crash before manifest publish")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr("os.rename", exploding)
+        return state
+
+    @staticmethod
+    def _seen_key(rows):
+        return sorted((r["url_canon"], r["state"], r["updated_batch"]) for r in rows)
+
+    def test_crash_mid_compaction_then_retry(self, spark, monkeypatch):
+        world, catalog, loop, seeds = _drain_world(
+            spark, seed=33, prefix="crashcmp_",
+            bloom_min_batch=0, compact_batches=0,
+        )
+        loop.seed(seeds)
+        loop.drain(max_batches=60)
+        before_commit = catalog.latest()["commit_id"]
+        before_seen = self._seen_key(catalog.read("seen").collect())
+        before_fetched = _fetched_key(catalog.read("fetched").collect())
+
+        state = self._arm_crash(monkeypatch, catalog.root)
+        try:
+            loop.compact_seen()
+            raise AssertionError("injected crash did not fire")
+        except RuntimeError as e:
+            assert "injected" in str(e)
+        assert not state["armed"]
+
+        # the torn compaction is invisible — same commit, same reads
+        assert catalog.latest()["commit_id"] == before_commit
+        assert self._seen_key(catalog.read("seen").collect()) == before_seen
+        # retry succeeds and changes no read result (compaction only folds)
+        loop.compact_seen()
+        assert catalog.latest()["commit_id"] > before_commit
+        assert self._seen_key(catalog.read("seen").collect()) == before_seen
+        assert _fetched_key(catalog.read("fetched").collect()) == before_fetched
+        parts = catalog.latest()["parts"].get("seen", {})
+        assert all(not isinstance(c, list) or len(c) == 1 for c in parts.values())
+
+    def test_crash_mid_migration_then_retry(self, spark, monkeypatch):
+        world, catalog, loop, seeds = _drain_world(
+            spark, seed=35, prefix="crashmig_", bloom_min_batch=0,
+        )
+        loop.seed(seeds)
+        loop.drain(max_batches=3)  # partial: live frontier + seen state
+        before_scheme = dict(catalog.latest()["meta"]["bucket_scheme"])
+        before_seen = self._seen_key(catalog.read("seen").collect())
+
+        state = self._arm_crash(monkeypatch, catalog.root)
+        try:
+            loop.migrate_buckets(seen_buckets=64, frontier_host_buckets=16)
+            raise AssertionError("injected crash did not fire")
+        except RuntimeError as e:
+            assert "injected" in str(e)
+        assert not state["armed"]
+
+        # stamp and state untouched; the loop object did not adopt the new
+        # geometry either (fields mutate only after the commit publishes)
+        assert catalog.latest()["meta"]["bucket_scheme"] == before_scheme
+        assert self._seen_key(catalog.read("seen").collect()) == before_seen
+        assert loop.bucket_scheme == before_scheme
+
+        # retry migrates for real; the resumed drain still equals the sim
+        loop.migrate_buckets(seen_buckets=64, frontier_host_buckets=16)
+        assert catalog.latest()["meta"]["bucket_scheme"]["seen"] == 64
+        assert self._seen_key(catalog.read("seen").collect()) == before_seen
+        loop.drain(max_batches=60)
+        sim = simulate(world.content, world.seeds, world.config)
+        assert _fetched_key(catalog.read("fetched").collect()) == _fetched_key(sim.fetched)
