@@ -446,6 +446,31 @@ def _ann_ivf_exhaustive(spark, sf):
     return ivf_topk(emb, queries, k=5, nlist=8, nprobe=8, iters=1)
 
 
+def _ann_ivf_pruned(spark, sf):
+    """Pruned IVF with a FIXED axis-aligned coarse quantizer — the full
+    value oracle for the pruning path itself.  ``centroids = eye(nlist,
+    dim)``: every centroid has unit norm, so coarse assignment
+    ``argmax_i cos(v, e_i)`` reduces to ``argmax_i v[i]`` over the first
+    ``nlist`` components, and the probe order is the top-``nprobe``
+    components by value — BOTH are comparisons of raw float32 values that
+    DuckDB reproduces exactly (no dot-product summation whose rounding
+    order could differ between engines).  The oracle replays assignment,
+    probing, and the exact re-rank in SQL, so the inverted-list pruning
+    machinery is value-checked end-to-end with real pruning in effect
+    (nprobe < nlist), complementing ``ann_ivf_exhaustive`` (covering mode)
+    and ``ann_ivf_recall_floor`` (seeded-kmeans quality).  Tie-break: numpy
+    argmax takes the first index; the SQL mirrors with ``dim ASC`` (exact
+    float ties between components do not occur in this data)."""
+    import numpy as np
+
+    from govuk_crawler_worker_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    centroids = np.eye(16, 64)
+    return ivf_topk(emb, queries, k=5, nlist=16, nprobe=4, centroids=centroids)
+
+
 def _ann_recall_floor(spark, sf):
     """Property oracle for the ANN path: every query's top-5 recall vs the
     exact baseline must clear a floor (deterministic given data + seeded
@@ -758,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_ivf_exhaustive": _ann_ivf_exhaustive,
+        "ann_ivf_pruned": _ann_ivf_pruned,
         "ann_recall_floor": _ann_recall_floor,
         "ann_ivf_recall_floor": _ann_ivf_recall_floor,
         "simhash_banding_complete": _simhash_banding_complete,
@@ -1238,6 +1264,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
                    count(*) AS dup_count
             FROM kept GROUP BY md5(text)
+        """,
+        # pruned IVF with the fixed axis-aligned quantizer (eye(16, 64)):
+        # assignment = argmax of the first 16 components, probes = the
+        # top-4 components by value (first-index tie-break, matching numpy
+        # argmax), then the exact rounded-cosine re-rank over probed lists
+        "ann_ivf_pruned": """
+            WITH dims AS (
+              SELECT vec_id, gs.i AS dim, embedding[gs.i] AS val
+              FROM embeddings, generate_series(1, 16) gs(i)
+            ),
+            ranked AS (
+              SELECT vec_id, dim - 1 AS list_id,
+                     row_number() OVER (
+                       PARTITION BY vec_id ORDER BY val DESC, dim ASC
+                     ) AS rn
+              FROM dims
+            ),
+            corpus AS (
+              SELECT e.vec_id, e.embedding, r.list_id
+              FROM embeddings e
+              JOIN ranked r ON r.vec_id = e.vec_id AND r.rn = 1
+            ),
+            qprobes AS (
+              SELECT vec_id AS qid, list_id
+              FROM ranked WHERE rn <= 4 AND vec_id % 100 = 0
+            )
+            SELECT qid, rank, neighbor, cosine FROM (
+              SELECT qp.qid, c.vec_id AS neighbor,
+                     round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY qp.qid
+                       ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+                                c.vec_id
+                     ) AS rank
+              FROM qprobes qp
+              JOIN embeddings q ON q.vec_id = qp.qid
+              JOIN corpus c ON c.list_id = qp.list_id AND c.vec_id != qp.qid
+            ) WHERE rank <= 5
         """,
         # covering-mode IVF (nprobe == nlist ⇒ candidates = whole corpus):
         # must equal the exact top-k, so the oracle is the same SQL as
