@@ -540,10 +540,12 @@ def _simhash_banding_complete(spark, sf):
         simhash_candidates,
     )
 
-    # persist: the signature table feeds the banded candidates AND both
-    # sides of the exhaustive self-join — 3 recomputes of the Arrow
-    # aggregation otherwise
-    sig = simhash64(_t(spark, sf, "documents")).persist()
+    # materialize once: the signature table feeds the banded candidates AND
+    # both sides of the exhaustive self-join — 3 recomputes of the Arrow
+    # aggregation otherwise.  localCheckpoint instead of persist: this query
+    # has no unpersist point (it returns a lazy frame), and a bare persist
+    # would accrete cached blocks across a long-lived driver session sweep.
+    sig = simhash64(_t(spark, sf, "documents")).localCheckpoint(eager=True)
     cand = simhash_candidates(sig, max_hamming=3).select("a", "b")
     exact = (
         sig.alias("l")
