@@ -62,22 +62,35 @@ def parse_robots(text: str, agent: str = "govuk_crawler_worker_spark") -> list[s
             in_agents = False
             if val:  # empty Disallow = allow-all
                 cur_rules.append(val)
-        elif key in ("allow", "crawl-delay", "sitemap"):
-            in_agents = False  # recognized but not interpreted (see module doc)
+        elif key in ("allow", "crawl-delay"):
+            in_agents = False  # group rules — recognized, not interpreted
+        # "sitemap" (and any unknown key) is a NON-group line (RFC 9309
+        # §2.2.2): it must neither end a user-agent run nor start a group
+        # body, else "User-agent: a ⏎ Sitemap: … ⏎ User-agent: b ⏎
+        # Disallow: /p" would silently give agent a allow-all (under-block)
     if cur_agents or cur_rules:
         groups.append((cur_agents, cur_rules))
-    best: tuple[int, list[str]] | None = None  # (specificity, rules)
-    for agents, rules in groups:
+    # RFC 9309 §2.2.1: if more than one group matches at the winning
+    # specificity (e.g. two "User-agent: *" groups), their rules combine —
+    # taking only the first would under-block
+    best_spec = -1
+    specs: list[int] = []
+    for agents, _rules in groups:
+        spec = -1
         for a in agents:
             if a == "*":
-                spec = 0
+                spec = max(spec, 0)
             elif a and a in agent_l:
-                spec = len(a)
-            else:
-                continue
-            if best is None or spec > best[0]:
-                best = (spec, rules)
-    return list(best[1]) if best else []
+                spec = max(spec, len(a))
+        specs.append(spec)
+        best_spec = max(best_spec, spec)
+    if best_spec < 0:
+        return []
+    out: list[str] = []
+    for spec, (_agents, rules) in zip(specs, groups):
+        if spec == best_spec:
+            out.extend(r for r in rules if r not in out)
+    return out
 
 
 def fetch_robots_delta(

@@ -198,10 +198,28 @@ class TestParseRobotsEdgeCases:
         # with user-agent lines)
         assert parse_robots("Disallow: /early\nUser-agent: *\nDisallow: /x\n") == ["/x"]
 
-    def test_two_star_groups_first_specificity_tie(self):
+    def test_two_star_groups_combine(self):
         txt = "User-agent: *\nDisallow: /one\n\nUser-agent: *\nDisallow: /two\n"
-        # tie on specificity: a deterministic single group wins (the first)
-        assert parse_robots(txt) == ["/one"]
+        # RFC 9309 §2.2.1: multiple groups matching at the same specificity
+        # combine their rules — taking only the first would under-block
+        assert parse_robots(txt) == ["/one", "/two"]
+
+    def test_specific_groups_combine_but_star_excluded(self):
+        txt = (
+            "User-agent: govuk_crawler\nDisallow: /a\n"
+            "User-agent: *\nDisallow: /star\n"
+            "User-agent: govuk_crawler\nDisallow: /b\n"
+        )
+        assert parse_robots(txt) == ["/a", "/b"]
+
+    def test_sitemap_between_agent_lines_does_not_split_group(self):
+        # sitemap is a NON-group line (RFC 9309 §2.2.2): it must not end a
+        # user-agent run — splitting here would hand agent a allow-all
+        txt = (
+            "User-agent: a\nSitemap: https://x/s.xml\nUser-agent: *\n"
+            "Disallow: /p\n"
+        )
+        assert parse_robots(txt, agent="a") == ["/p"]
 
     def test_agent_case_insensitive(self):
         txt = "User-agent: GOVUK_CRAWLER_WORKER_SPARK\nDisallow: /mine\n"
