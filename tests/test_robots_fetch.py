@@ -1,10 +1,12 @@
-"""Live robots.txt fetch + enforcement (r5, beyond-reference surface).
+"""Live robots.txt fetch + enforcement (r5/r6, beyond-reference surface).
 
-parse_robots: RFC 9309 common subset (group selection, Disallow prefixes,
-Allow ignored = over-blocking-safe).  E2E: a DrainLoop with HttpFetcher
-against a real local HTTP server serving robots rules — the engine must GET
-/robots.txt ONCE per host per TTL, commit the rules into the catalog, and
-never GET a disallowed path; the config-only static path stays untouched.
+parse_robots: RFC 9309 — group selection, Allow AND Disallow rules, ``*``
+and trailing-``$`` wildcards, longest-match precedence (allow wins ties).
+E2E: a DrainLoop with HttpFetcher against a real local HTTP server serving
+robots rules — the engine must GET /robots.txt ONCE per host per TTL, commit
+the rules into the catalog, never GET a disallowed path, fetch Allow-carved
+paths inside a disallowed subtree, and carry stored rules forward when a
+refetch is unreachable (5xx); the config-only static path stays untouched.
 """
 
 from __future__ import annotations
@@ -14,30 +16,39 @@ from collections import defaultdict
 
 from govuk_crawler_worker_spark.config import CrawlConfig
 from govuk_crawler_worker_spark.plans.pipeline import DrainLoop
-from govuk_crawler_worker_spark.plans.robots import parse_robots
+from govuk_crawler_worker_spark.plans.robots import (
+    parse_robots,
+    rule_regex,
+    rules_to_structs,
+)
 from govuk_crawler_worker_spark.sources.catalog import Catalog
+
+
+def _dis(txt, agent="govuk_crawler_worker_spark"):
+    """Disallow patterns only — the r5 test surface, kept for goldens."""
+    return [p for p, allow in parse_robots(txt, agent) if not allow]
 
 
 class TestParseRobots:
     def test_star_group(self):
         txt = "User-agent: *\nDisallow: /private\nDisallow: /tmp\n"
-        assert parse_robots(txt) == ["/private", "/tmp"]
+        assert parse_robots(txt) == [("/private", False), ("/tmp", False)]
 
     def test_specific_agent_wins_over_star(self):
         txt = (
             "User-agent: *\nDisallow: /all\n\n"
             "User-agent: govuk_crawler_worker_spark\nDisallow: /mine\n"
         )
-        assert parse_robots(txt) == ["/mine"]
-        assert parse_robots(txt, agent="otherbot") == ["/all"]
+        assert _dis(txt) == ["/mine"]
+        assert _dis(txt, agent="otherbot") == ["/all"]
 
-    def test_multi_agent_group_and_comments(self):
+    def test_multi_agent_group_comments_and_allow(self):
         txt = (
             "# comment\nUser-agent: a\nUser-agent: govuk_crawler_worker_spark\n"
             "Disallow: /x # trailing\nAllow: /x/ok\n"
         )
-        # Allow is recognized but not interpreted (over-blocks, never under)
-        assert parse_robots(txt) == ["/x"]
+        # Allow is now a first-class rule (RFC 9309 §2.2.2)
+        assert parse_robots(txt) == [("/x", False), ("/x/ok", True)]
 
     def test_empty_disallow_is_allow_all(self):
         assert parse_robots("User-agent: *\nDisallow:\n") == []
@@ -48,7 +59,74 @@ class TestParseRobots:
             "User-agent: govuk\nDisallow: /short\n\n"
             "User-agent: govuk_crawler\nDisallow: /long\n"
         )
-        assert parse_robots(txt) == ["/long"]
+        assert _dis(txt) == ["/long"]
+
+
+class TestRuleRegexAndPrecedence:
+    """RFC 9309 §2.2.2-§2.2.3 decision goldens, evaluated via the same
+    translation the engine stores (rule_regex) and a pure-Python replica of
+    the columnar longest-match verdict."""
+
+    @staticmethod
+    def _blocked(txt: str, target: str, agent="govuk_crawler_worker_spark") -> bool:
+        import re
+
+        best_d, best_a = -1, -1
+        for r in rules_to_structs(parse_robots(txt, agent)):
+            if re.search(r["rx"], target):
+                if r["allow"]:
+                    best_a = max(best_a, r["n"])
+                else:
+                    best_d = max(best_d, r["n"])
+        return best_d > best_a
+
+    def test_regex_translation(self):
+        assert rule_regex("/private") == "^/private"
+        assert rule_regex("/*.pdf$") == "^/.*\\.pdf$"
+        assert rule_regex("/a*b") == "^/a.*b"
+        assert rule_regex("/end$") == "^/end$"
+
+    def test_allow_carveout_in_disallowed_tree(self):
+        txt = "User-agent: *\nDisallow: /\nAllow: /public/\n"
+        assert not self._blocked(txt, "/public/page")
+        assert self._blocked(txt, "/private/page")
+        assert self._blocked(txt, "/")
+
+    def test_wildcard_star(self):
+        txt = "User-agent: *\nDisallow: /private*\n"
+        assert self._blocked(txt, "/private123/x")
+        assert not self._blocked(txt, "/public")
+
+    def test_wildcard_suffix_anchor(self):
+        txt = "User-agent: *\nDisallow: /*.pdf$\n"
+        assert self._blocked(txt, "/docs/report.pdf")
+        assert not self._blocked(txt, "/docs/report.pdfx")
+        assert not self._blocked(txt, "/docs/report.html")
+
+    def test_longest_match_wins(self):
+        # RFC 9309 §2.2.2 example shape: the more specific allow overrides
+        txt = "User-agent: *\nDisallow: /page\nAllow: /page/public\n"
+        assert self._blocked(txt, "/page/secret")
+        assert not self._blocked(txt, "/page/public/x")
+
+    def test_tie_goes_to_allow(self):
+        txt = "User-agent: *\nDisallow: /dir/\nAllow: /dir/$\n"
+        # "/dir/" target: disallow "/dir/" (n=5) vs allow "/dir/$" (n=6)
+        assert not self._blocked(txt, "/dir/")
+        assert self._blocked(txt, "/dir/sub")
+        # exact-length tie: same pattern both ways → allow wins
+        txt2 = "User-agent: *\nDisallow: /both\nAllow: /both\n"
+        assert not self._blocked(txt2, "/both/x")
+
+    def test_query_string_rules_match(self):
+        # enforcement target is path + '?query' so rules constraining the
+        # query string (common for session ids) actually bite
+        txt = "User-agent: *\nDisallow: /*?session=\n"
+        assert self._blocked(txt, "/a?session=123")
+        assert not self._blocked(txt, "/a")
+
+    def test_no_match_allows(self):
+        assert not self._blocked("User-agent: *\nDisallow: /x\n", "/y")
 
 
 def _serve(pages: dict[str, tuple[int, str, bytes]], counts):
@@ -59,6 +137,8 @@ def _serve(pages: dict[str, tuple[int, str, bytes]], counts):
         def do_GET(self):
             counts[self.path] += 1
             hit = pages.get(self.path)
+            if callable(hit):
+                hit = hit(counts[self.path])
             if hit is None:
                 self.send_response(404)
                 self.end_headers()
@@ -91,12 +171,37 @@ def _proxy_opener(base):
     return op
 
 
+def _run_drain(spark, pages, cfg, max_batches=10, catalog=None):
+    from govuk_crawler_worker_spark.plans.fetch import HttpFetcher
+
+    counts = defaultdict(int)
+    srv, base = _serve(pages, counts)
+    try:
+        if catalog is None:
+            catalog = Catalog(spark, tempfile.mkdtemp(prefix="robots_"))
+        loop = DrainLoop(
+            spark,
+            catalog,
+            cfg,
+            fetcher=HttpFetcher(cfg, opener=_proxy_opener(base)),
+            fetch_robots=True,
+        )
+        if "frontier" not in catalog.latest().get("schemas", {}):
+            loop.seed(
+                spark.createDataFrame(
+                    [(u, 0) for u in cfg.root_urls], "url string, priority int"
+                )
+            )
+        loop.drain(max_batches=max_batches)
+    finally:
+        srv.shutdown()
+    return catalog, counts
+
+
 class TestRobotsFetchDrain:
     def test_drain_fetches_rules_once_and_never_gets_disallowed(self, spark):
-        from govuk_crawler_worker_spark.plans.fetch import HttpFetcher
-
         host = "www.gov.uk"
-        html = 'text/html; charset=utf-8'
+        html = "text/html; charset=utf-8"
         pages = {
             f"/{host}/": (200, html, b'<a href="/a">a</a><a href="/private/x">p</a>'),
             f"/{host}/a": (200, html, b"<p>ok</p>"),
@@ -107,27 +212,8 @@ class TestRobotsFetchDrain:
                 b"User-agent: *\nDisallow: /private\n",
             ),
         }
-        counts = defaultdict(int)
-        srv, base = _serve(pages, counts)
-        try:
-            cfg = CrawlConfig(root_urls=(f"https://{host}/",))
-            catalog = Catalog(spark, tempfile.mkdtemp(prefix="robots_"))
-            loop = DrainLoop(
-                spark,
-                catalog,
-                cfg,
-                fetcher=HttpFetcher(cfg, opener=_proxy_opener(base)),
-                fetch_robots=True,
-            )
-            assert loop.fetch_robots
-            loop.seed(
-                spark.createDataFrame(
-                    [(f"https://{host}/", 0)], "url string, priority int"
-                )
-            )
-            loop.drain(max_batches=10)
-        finally:
-            srv.shutdown()
+        cfg = CrawlConfig(root_urls=(f"https://{host}/",))
+        catalog, counts = _run_drain(spark, pages, cfg)
 
         fetched = {r["url"] for r in catalog.read("fetched").collect()}
         assert f"https://{host}/" in fetched
@@ -139,14 +225,152 @@ class TestRobotsFetchDrain:
         # exactly ONE robots GET across the whole multi-batch drain (TTL'd)
         assert counts[f"/{host}/robots.txt"] == 1
         # and the rules are catalog state (resume does not refetch)
-        rules = {r["host"]: list(r["prefixes"]) for r in catalog.read("robots").collect()}
-        assert rules == {host: ["/private"]}
+        rules = {
+            r["host"]: [(s["rx"], s["n"], s["allow"]) for s in r["rules"]]
+            for r in catalog.read("robots").collect()
+        }
+        assert rules == {host: [("^/private", 8, False)]}
 
-    def test_unreachable_robots_is_allow_all_and_static_rules_still_apply(
+    def test_allow_carved_path_is_fetched(self, spark):
+        """RFC 9309 §2.2.2: Disallow:/ + Allow:/public/ — the carve-out MUST
+        be crawled (the r5 Allow-ignoring parser made this site entirely
+        uncrawlable)."""
+        host = "www.gov.uk"
+        html = "text/html; charset=utf-8"
+        pages = {
+            f"/{host}/start": (
+                200,
+                html,
+                b'<a href="/public/a">a</a><a href="/hidden/b">b</a>'
+                b'<a href="/doc.pdf">c</a>',
+            ),
+            f"/{host}/public/a": (200, html, b"<p>public</p>"),
+            f"/{host}/hidden/b": (200, html, b"<p>hidden</p>"),
+            f"/{host}/doc.pdf": (200, html, b"<p>pdf</p>"),
+            f"/{host}/robots.txt": (
+                200,
+                "text/plain",
+                b"User-agent: *\nDisallow: /\nAllow: /start\nAllow: /public/\n"
+                b"Disallow: /*.pdf$\n",
+            ),
+        }
+        cfg = CrawlConfig(root_urls=(f"https://{host}/start",))
+        catalog, counts = _run_drain(spark, pages, cfg)
+        fetched = {r["url"] for r in catalog.read("fetched").collect()}
+        assert f"https://{host}/start" in fetched
+        assert f"https://{host}/public/a" in fetched  # Allow carve-out crawled
+        assert f"https://{host}/hidden/b" not in fetched  # Disallow: /
+        assert f"https://{host}/doc.pdf" not in fetched  # wildcard rule
+        assert counts[f"/{host}/hidden/b"] == 0
+        assert counts[f"/{host}/doc.pdf"] == 0
+
+    def test_unreachable_refetch_carries_stored_rules_forward(self, spark):
+        """RFC 9309 §2.3.1.4: a 5xx refetch must NOT replace known Disallow
+        rules with allow-all — the stored rules ride forward under the new
+        fetched_batch (ADVICE r5 medium)."""
+        host = "www.gov.uk"
+        html = "text/html; charset=utf-8"
+
+        def robots(hit_count):
+            if hit_count == 1:
+                return (200, "text/plain", b"User-agent: *\nDisallow: /private\n")
+            return (503, "text/plain", b"")
+
+        pages = {
+            f"/{host}/": (
+                200,
+                html,
+                b'<a href="/a">a</a><a href="/b">b</a><a href="/private/x">p</a>',
+            ),
+            f"/{host}/a": (200, html, b'<a href="/b">b</a>'),
+            f"/{host}/b": (200, html, b"<p>ok</p>"),
+            f"/{host}/private/x": (200, html, b"<p>secret</p>"),
+            f"/{host}/robots.txt": robots,
+        }
+        # TTL = one batch → every batch refetches robots; batches 2+ get 503
+        cfg = CrawlConfig(root_urls=(f"https://{host}/",), robots_ttl_s=1.0)
+        catalog, counts = _run_drain(spark, pages, cfg)
+        assert counts[f"/{host}/robots.txt"] >= 2  # the 503 path was exercised
+        fetched = {r["url"] for r in catalog.read("fetched").collect()}
+        assert f"https://{host}/a" in fetched
+        assert f"https://{host}/private/x" not in fetched
+        assert counts[f"/{host}/private/x"] == 0
+        # stored rules survived the 503 (not wiped to allow-all)
+        rules = {
+            r["host"]: [(s["rx"], s["allow"]) for s in (r["rules"] or [])]
+            for r in catalog.read("robots").collect()
+        }
+        assert rules == {host: [("^/private", False)]}
+
+    def test_unreachable_first_fetch_means_complete_disallow(self, spark):
+        """5xx with NO stored rules → RFC complete disallow: nothing is
+        crawled (fail-closed, the polite direction)."""
+        host = "www.gov.uk"
+        html = "text/html; charset=utf-8"
+        pages = {
+            f"/{host}/": (200, html, b'<a href="/a">a</a>'),
+            f"/{host}/a": (200, html, b"<p>ok</p>"),
+            f"/{host}/robots.txt": (503, "text/plain", b""),
+        }
+        cfg = CrawlConfig(root_urls=(f"https://{host}/",))
+        catalog, counts = _run_drain(spark, pages, cfg)
+        # NOTHING was crawled: the fetched table was never even created
+        assert not catalog.exists("fetched")
+        assert counts[f"/{host}/"] == 0
+        # the complete-disallow rule is stored state (TTL'd like any rules)
+        rules = {
+            r["host"]: [(s["rx"], s["allow"]) for s in r["rules"]]
+            for r in catalog.read("robots").collect()
+        }
+        assert rules == {host: [("^/", False)]}
+
+    def test_legacy_prefixes_rows_still_enforce(self, spark):
+        """Read-compat with the r5 robots schema (literal Disallow prefixes,
+        no ``rules`` column): a stored legacy row keeps its over-block
+        enforcement — without being refetched — until its TTL lapses."""
+        import tempfile as _tf
+
+        from pyspark.sql import functions as F
+
+        from govuk_crawler_worker_spark.plans.pipeline import ROBOTS_BUCKETS
+
+        host = "www.gov.uk"
+        html = "text/html; charset=utf-8"
+        pages = {
+            f"/{host}/": (200, html, b'<a href="/a">a</a><a href="/old/x">o</a>'),
+            f"/{host}/a": (200, html, b"<p>ok</p>"),
+            f"/{host}/old/x": (200, html, b"<p>legacy-blocked</p>"),
+            f"/{host}/robots.txt": (200, "text/plain", b"User-agent: *\nDisallow:\n"),
+        }
+        catalog = Catalog(spark, _tf.mkdtemp(prefix="robots_legacy_"))
+        legacy = spark.createDataFrame(
+            [(host, "https", ["/old"], 0)],
+            "host string, scheme string, prefixes array<string>, fetched_batch long",
+        )
+        catalog.commit(
+            merges={
+                "robots": dict(
+                    delta=legacy,
+                    key="host",
+                    bucket_of=lambda df: F.pmod(
+                        F.xxhash64(F.col("host")), F.lit(ROBOTS_BUCKETS)
+                    ),
+                )
+            }
+        )
+        cfg = CrawlConfig(root_urls=(f"https://{host}/",))
+        catalog, counts = _run_drain(spark, pages, cfg, catalog=catalog)
+        fetched = {r["url"] for r in catalog.read("fetched").collect()}
+        assert f"https://{host}/a" in fetched
+        assert f"https://{host}/old/x" not in fetched
+        assert counts[f"/{host}/old/x"] == 0
+        # the legacy row is FRESH (default 24h TTL) → never refetched; the
+        # enforcement above therefore came from the prefixes column alone
+        assert counts[f"/{host}/robots.txt"] == 0
+
+    def test_unreachable_robots_404_is_allow_all_and_static_rules_still_apply(
         self, spark
     ):
-        from govuk_crawler_worker_spark.plans.fetch import HttpFetcher
-
         host = "www.gov.uk"
         html = "text/html; charset=utf-8"
         pages = {  # NO robots.txt entry → server 404s it
@@ -154,55 +378,39 @@ class TestRobotsFetchDrain:
             f"/{host}/a": (200, html, b"<p>ok</p>"),
             f"/{host}/cfgblock/x": (200, html, b"<p>blocked by config</p>"),
         }
-        counts = defaultdict(int)
-        srv, base = _serve(pages, counts)
-        try:
-            cfg = CrawlConfig(
-                root_urls=(f"https://{host}/",),
-                # static config rules must keep applying on the live path
-                robots_disallow={host: ("/cfgblock",)},
-            )
-            catalog = Catalog(spark, tempfile.mkdtemp(prefix="robots404_"))
-            loop = DrainLoop(
-                spark,
-                catalog,
-                cfg,
-                fetcher=HttpFetcher(cfg, opener=_proxy_opener(base)),
-                fetch_robots=True,
-            )
-            loop.seed(
-                spark.createDataFrame(
-                    [(f"https://{host}/", 0)], "url string, priority int"
-                )
-            )
-            loop.drain(max_batches=10)
-        finally:
-            srv.shutdown()
+        cfg = CrawlConfig(
+            root_urls=(f"https://{host}/",),
+            # static config rules must keep applying on the live path
+            robots_disallow={host: ("/cfgblock",)},
+        )
+        catalog, counts = _run_drain(spark, pages, cfg)
         fetched = {r["url"] for r in catalog.read("fetched").collect()}
         # 404 robots = allow-all: /a crawled; static config rule still blocks
         assert f"https://{host}/a" in fetched
         assert f"https://{host}/cfgblock/x" not in fetched
         assert counts[f"/{host}/cfgblock/x"] == 0
         # the (empty) rules row is still committed so the TTL applies
-        rules = {r["host"]: list(r["prefixes"]) for r in catalog.read("robots").collect()}
+        rules = {
+            r["host"]: list(r["rules"]) for r in catalog.read("robots").collect()
+        }
         assert rules == {host: []}
 
 
 class TestParseRobotsEdgeCases:
     def test_crlf_and_mixed_case_keys(self):
         txt = "USER-AGENT: *\r\nDisAllow: /a\r\n\r\nSitemap: https://x/s.xml\r\n"
-        assert parse_robots(txt) == ["/a"]
+        assert _dis(txt) == ["/a"]
 
     def test_rules_before_any_agent_are_ignored(self):
         # a headerless rule belongs to no group (RFC 9309: groups start
         # with user-agent lines)
-        assert parse_robots("Disallow: /early\nUser-agent: *\nDisallow: /x\n") == ["/x"]
+        assert _dis("Disallow: /early\nUser-agent: *\nDisallow: /x\n") == ["/x"]
 
     def test_two_star_groups_combine(self):
         txt = "User-agent: *\nDisallow: /one\n\nUser-agent: *\nDisallow: /two\n"
         # RFC 9309 §2.2.1: multiple groups matching at the same specificity
         # combine their rules — taking only the first would under-block
-        assert parse_robots(txt) == ["/one", "/two"]
+        assert _dis(txt) == ["/one", "/two"]
 
     def test_specific_groups_combine_but_star_excluded(self):
         txt = (
@@ -210,7 +418,7 @@ class TestParseRobotsEdgeCases:
             "User-agent: *\nDisallow: /star\n"
             "User-agent: govuk_crawler\nDisallow: /b\n"
         )
-        assert parse_robots(txt) == ["/a", "/b"]
+        assert _dis(txt) == ["/a", "/b"]
 
     def test_sitemap_between_agent_lines_does_not_split_group(self):
         # sitemap is a NON-group line (RFC 9309 §2.2.2): it must not end a
@@ -219,12 +427,17 @@ class TestParseRobotsEdgeCases:
             "User-agent: a\nSitemap: https://x/s.xml\nUser-agent: *\n"
             "Disallow: /p\n"
         )
-        assert parse_robots(txt, agent="a") == ["/p"]
+        assert _dis(txt, agent="a") == ["/p"]
 
     def test_agent_case_insensitive(self):
         txt = "User-agent: GOVUK_CRAWLER_WORKER_SPARK\nDisallow: /mine\n"
-        assert parse_robots(txt) == ["/mine"]
+        assert _dis(txt) == ["/mine"]
 
     def test_garbage_lines_ignored(self):
         txt = "not a directive\nUser-agent: *\n<<<>>>\nDisallow: /ok\n"
-        assert parse_robots(txt) == ["/ok"]
+        assert _dis(txt) == ["/ok"]
+
+    def test_empty_allow_ignored(self):
+        assert parse_robots("User-agent: *\nAllow:\nDisallow: /x\n") == [
+            ("/x", False)
+        ]

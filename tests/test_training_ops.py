@@ -451,3 +451,30 @@ class TestDedupLifecycle:
         assert n_persistent() - base <= 4
         assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
         assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+    def test_banding_query_does_not_accrete_blocks(self, spark):
+        """The simhash_banding_complete driver query lazily localCheckpoints
+        its signature table (r5 VERDICT: eager paid a dedicated job; a bare
+        persist accreted blocks).  Repeated calls in a long-lived session
+        must release each call's checkpoint once the result is dropped."""
+        import gc
+        import time
+
+        import __spark_entry__ as em
+
+        def n_persistent():
+            return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+        q = em.queries()["simhash_banding_complete"]
+        base = n_persistent()
+        for _ in range(3):
+            assert q(spark, "/root/testdata/sf0.001").count() == 1
+        # the ContextCleaner releases checkpointed blocks via GC weak refs —
+        # asynchronously; poll briefly rather than asserting instantly
+        deadline = time.monotonic() + 15
+        while time.monotonic() < deadline:
+            gc.collect()
+            if n_persistent() - base <= 1:
+                break
+            time.sleep(0.25)
+        assert n_persistent() - base <= 1
