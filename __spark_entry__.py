@@ -761,6 +761,36 @@ def _audio_chunks_sanity(spark, sf):
     ).orderBy("clip_id")
 
 
+def _video_frame_index(spark, sf):
+    """frame_sample over REAL Motion-JPEG AVI containers (r6): six videos
+    with formula-fixed frame counts (3 + vid%4) sampled every 2nd frame, so
+    the (video_id, frame_idx, w, h) output is a closed-form truth table the
+    SQL oracle states directly — value-checking the RIFF walk, the
+    pure-numpy baseline-JPEG frame decode (sources/jpeg.py), the 1→many
+    mapInPandas fan-out, and the sampling stride.  Pixel content is
+    JPEG-lossy so the frame bytes are excluded here; frame fidelity is
+    pinned by tests/test_images.py + tests/test_jpeg.py PSNR assertions."""
+    import numpy as np
+    import pandas as pd
+
+    from govuk_crawler_worker_spark.operators.multimodal import frame_sample
+    from govuk_crawler_worker_spark.sources import images as img
+
+    rows = []
+    for vid in range(6):
+        n = 3 + (vid % 4)
+        frames = [
+            img.make_pixels(np.random.default_rng(vid * 100 + i), 16, 8)
+            for i in range(n)
+        ]
+        rows.append((f"v{vid}", img.encode_avi_mjpeg(frames, fps=10, quality=90)))
+    vids = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["video_id", "bytes"]),
+        "video_id string, bytes binary",
+    )
+    return frame_sample(vids, every_n=2).select("video_id", "frame_idx", "w", "h")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "claim_topk": _claim_topk,
@@ -804,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_sanity": _audio_features_sanity,
         "image_features_sanity": _image_features_sanity,
         "audio_chunks_sanity": _audio_chunks_sanity,
+        "video_frame_index": _video_frame_index,
     }
 
 
@@ -1212,6 +1243,15 @@ def oracle_sql() -> dict[str, str]:
                    true AS chunks_ok, true AS samples_ok,
                    true AS start_ok, true AS resample_ok
             FROM range(8) t(r) ORDER BY clip_id
+        """,
+        # the AVI frame-count formula (n = 3 + vid%4, stride 2) restated:
+        # sampled indices per video are range(0, n, 2) at constant 16×8
+        "video_frame_index": """
+            SELECT 'v' || CAST(v AS VARCHAR) AS video_id,
+                   CAST(i AS INT) AS frame_idx,
+                   CAST(16 AS INT) AS w, CAST(8 AS INT) AS h
+            FROM range(6) t(v), range(0, 6, 2) s(i)
+            WHERE i < 3 + (v % 4)
         """,
         "ttl_semantics": """
             WITH seen AS (

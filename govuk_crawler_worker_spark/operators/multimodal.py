@@ -97,11 +97,13 @@ def frame_sample(video: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling: binary container column in → exploded frame
     rows out (every ``every_n``-th frame, PNG-encoded), one ``mapInPandas``
     pass.  The plumbing — schema, Arrow batch shape, 1→many row fan-out,
-    per-partition decode — is the production contract; the codec is the
-    self-contained NVID1 raw container (sources/images.py), and any other
-    container raises NotImplementedError until ffmpeg bindings are plugged
-    in (the sandbox ships none).  Scale note: partition by video_id upstream
-    so one task never holds more than a few containers in memory."""
+    per-partition decode — is the production contract; the codecs are REAL
+    Motion-JPEG AVI (r6: RIFF walk + the pure-numpy baseline JPEG decoder,
+    sources/images.py + sources/jpeg.py) plus the legacy NVID1 raw
+    container; other containers raise NotImplementedError until ffmpeg
+    bindings are plugged in (the sandbox ships none).  Scale note:
+    partition by video_id upstream so one task never holds more than a few
+    containers in memory."""
 
     def sample(batches):
         for pdf in batches:

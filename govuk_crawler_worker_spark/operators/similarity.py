@@ -252,6 +252,23 @@ def _assign_udf(centroids: np.ndarray):
     return assign
 
 
+def _best_cosine_udf(centroids: np.ndarray):
+    """Per-vector max cosine against ANY centroid — the fit quality of the
+    point's best assignment; the empty-cluster reseed picks the points this
+    is smallest for (the worst-served directions)."""
+    norm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf("double")
+    def best(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ norm.T).max(axis=1))
+
+    return best
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 16,
@@ -265,8 +282,13 @@ def kmeans_fit(
     Assignment = vectorized matmul UDF; update = per-cluster per-dimension
     mean via ``posexplode + groupBy(cluster, pos).avg`` — a plain shuffled
     aggregate, so the only driver-side data is the k×dim centroid matrix
-    (collect of k·dim rows).  Empty clusters keep their previous centroid.
-    Seeded random-normal init → deterministic."""
+    (collect of k·dim rows).  An EMPTY cluster is reseeded to the
+    worst-served point (globally smallest max-cosine to any centroid,
+    deterministic tie-break on the vector itself) — keep-previous left dead
+    centroids dead forever and cost IVF recall on clustered data (r5
+    VERDICT stretch #8); the reseed job runs only on iterations that
+    actually have empties and collects ≤ k rows.  Seeded random-normal
+    init → deterministic."""
     v = emb.select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
     centroids = np.random.default_rng(seed).standard_normal((k, dim))
     for _ in range(iters):
@@ -278,9 +300,21 @@ def kmeans_fit(
             .agg(F.avg("val").alias("m"))
             .collect()
         )
-        nxt = centroids.copy()  # empty clusters keep their previous centroid
+        nxt = centroids.copy()
+        filled: set[int] = set()
         for r in means:
             nxt[r["c"], r["pos"]] = r["m"]
+            filled.add(int(r["c"]))
+        empty = sorted(set(range(k)) - filled)
+        if empty:
+            far = (
+                v.select("v", _best_cosine_udf(centroids)("v").alias("bc"))
+                .orderBy(F.col("bc").asc(), F.col("v").asc())
+                .limit(len(empty))
+                .collect()
+            )
+            for c, r in zip(empty, far):
+                nxt[c] = np.asarray(r["v"], dtype=float)
         centroids = nxt
     return centroids
 

@@ -10,13 +10,13 @@ self-contained and deterministic:
 * ``png``  — a REAL minimal PNG (8-bit RGB, zlib, filter 0): lossless,
   readable by any standard decoder.  Exercises the exact-equality branch of
   the per-row invariant.
-* ``jpeg`` — STUB LOSSY CODEC ("QIM1"): a clearly-marked stand-in for a JPEG
-  encoder.  It quantizes pixels to a step of 4 (drops 2 LSBs) and
-  zlib-compresses, giving a deterministic ~46.9 dB PSNR — comfortably above
-  the ≥40 dB gate — while keeping all Spark-side plumbing (binary column,
-  batch decode inside mapInPandas, PSNR validation) real and tested.  A real
-  deployment swaps ``encode_lossy``/``decode_lossy`` for libjpeg bindings;
-  nothing else changes.
+* ``jpeg`` — a REAL baseline JPEG (r6; ``sources/jpeg.py``, pure-numpy
+  ITU-T T.81 implementation: JFIF, 4:4:4, Annex K tables, standard Huffman
+  coding).  Payloads encode at IJG quality 98 — measured ~43-44 dB PSNR on
+  the structured test images, above the ≥40 dB validation gate — and the
+  bytes are standard JPEGs any decoder can read.  The earlier "QIM1" stub
+  remains readable for payloads written by pre-r6 catalogs
+  (``decode_image`` sniffs the magic).
 
 phash: 8×8 mean hash over a grayscale box-downsample → int64, the payload's
 ``phash`` column and the near-duplicate key for image dedup.
@@ -80,22 +80,33 @@ def decode_png(data: bytes) -> np.ndarray:
     return raw[:, 1:].reshape(h, w, 3).copy()
 
 
+#: IJG quality for payload JPEGs: ~43-44 dB on the structured test images —
+#: above the ≥40 dB lossy validation gate with margin
+JPEG_QUALITY = 98
+
+
 def encode_lossy(pixels: np.ndarray) -> bytes:
-    """STUB lossy encoder (see module docstring) — NOT real JPEG bytes."""
-    h, w, _ = pixels.shape
-    q = (pixels.astype(np.int32) // _QIM_STEP * _QIM_STEP + _QIM_STEP // 2).clip(
-        0, 255
-    ).astype(np.uint8)
-    return _QIM_MAGIC + struct.pack(">IIB", w, h, _QIM_STEP) + zlib.compress(
-        q.tobytes(), 6
-    )
+    """REAL baseline JPEG bytes (sources/jpeg.py; standard JFIF output)."""
+    from govuk_crawler_worker_spark.sources.jpeg import encode_jpeg
+
+    return encode_jpeg(pixels, quality=JPEG_QUALITY)
 
 
 def decode_lossy(data: bytes) -> np.ndarray:
-    if not data.startswith(_QIM_MAGIC):
-        raise ValueError("not a QIM1 payload")
-    w, h, _step = struct.unpack(">IIB", data[4:13])
-    return np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8).reshape(h, w, 3).copy()
+    """Lossy payload decode: real JPEG, plus the pre-r6 "QIM1" stub format
+    for payloads persisted by older catalogs."""
+    if data[:2] == b"\xff\xd8":
+        from govuk_crawler_worker_spark.sources.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    if data.startswith(_QIM_MAGIC):
+        w, h, _step = struct.unpack(">IIB", data[4:13])
+        return (
+            np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8)
+            .reshape(h, w, 3)
+            .copy()
+        )
+    raise ValueError("not a JPEG or QIM1 payload")
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
@@ -147,12 +158,12 @@ def make_pixels(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 
-# -- deterministic raw video container ("NVID1") -----------------------------
-# The sandbox has no ffmpeg, so (as with the QIM1 lossy image stand-in) the
-# CONTAINER is self-contained and deterministic while the Spark-side
-# plumbing that consumes it (operators/multimodal.frame_sample) is real: a
-# production deployment swaps these two functions for ffmpeg bindings
-# without touching plan shape, schema, or partitioning.
+# -- video containers ----------------------------------------------------------
+# r6: a REAL Motion-JPEG AVI (RIFF 'AVI ' per the public Microsoft AVI RIFF
+# spec; one baseline-JPEG '00dc' chunk per frame via sources/jpeg.py) is the
+# primary video format — standard players and ffmpeg read these bytes.  The
+# legacy deterministic raw container ("NVID1", r2) remains decodable for
+# payloads persisted by older catalogs:
 #
 #   NVID1 := b"NVID1" | u16 n_frames | u16 w | u16 h | n·(w·h·3 raw RGB)
 
@@ -160,6 +171,8 @@ VIDEO_MAGIC = b"NVID1"
 
 
 def encode_video(frames: "list[np.ndarray]") -> bytes:
+    """Frames → raw NVID1 bytes (lossless; kept for exact-roundtrip tests
+    and legacy payloads).  New payloads should prefer encode_avi_mjpeg."""
     import struct
 
     h, w, _ = frames[0].shape
@@ -170,9 +183,92 @@ def encode_video(frames: "list[np.ndarray]") -> bytes:
     return b"".join(out)
 
 
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""  # RIFF chunks are word-aligned
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(kind: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + body)
+
+
+def encode_avi_mjpeg(
+    frames: "list[np.ndarray]", fps: int = 10, quality: int = 90
+) -> bytes:
+    """Frames → REAL Motion-JPEG AVI bytes (RIFF 'AVI ': avih + 'vids'/'MJPG'
+    stream header + BITMAPINFOHEADER, one baseline-JPEG '00dc' chunk per
+    frame, idx1 index) — playable by any standard tool."""
+    from govuk_crawler_worker_spark.sources.jpeg import encode_jpeg
+
+    h, w, _ = frames[0].shape
+    jpegs = [encode_jpeg(f, quality) for f in frames]
+    max_sz = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1),  # microseconds per frame
+        max_sz * fps,  # max bytes/sec
+        0,  # padding granularity
+        0x10,  # AVIF_HASINDEX
+        len(frames), 0, 1, max_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        # flags, priority, language, initial_frames, scale, rate, start,
+        # length, suggested_buffer, quality, sample_size (AVISTREAMHEADER)
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), max_sz, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)  # rcFrame
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    offsets = []
+    for j in jpegs:
+        offsets.append(len(movi_body))  # offset of the chunk tag within movi
+        movi_body += _riff_chunk(b"00dc", j)
+    movi = _riff_chunk(b"LIST", movi_body)
+    idx1 = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, len(j))
+        for off, j in zip(offsets, jpegs)
+    )
+    riff_body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx1)
+    return _riff_chunk(b"RIFF", riff_body)
+
+
+def decode_avi_mjpeg(data: bytes) -> "list[np.ndarray]":
+    """Walk the RIFF tree (the same chunk discipline as the WAV codec,
+    sources/audio.py) and decode every '00dc'/'00db' MJPEG frame chunk."""
+    from govuk_crawler_worker_spark.sources.jpeg import decode_jpeg
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + size]
+            if tag == b"LIST":
+                walk(body[4:])  # skip the list kind
+            elif tag in (b"00dc", b"00db") and body[:2] == b"\xff\xd8":
+                frames.append(decode_jpeg(body))
+            pos += 8 + size + (size % 2)
+
+    walk(data[12:])
+    return frames
+
+
 def decode_video(data: bytes) -> "list[np.ndarray]":
+    """Container dispatch: real MJPEG-AVI, or the legacy NVID1 raw format."""
     import struct
 
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return decode_avi_mjpeg(data)
     if data[:5] != VIDEO_MAGIC:
         raise NotImplementedError(
             "unknown video container; real deployments plug ffmpeg here"

@@ -1,0 +1,527 @@
+"""Self-contained baseline JPEG codec (ITU-T T.81) in pure numpy.
+
+The container has no libjpeg/PIL/opencv, so this module implements the
+baseline sequential DCT process from the PUBLIC spec — ITU-T T.81 (1992)
+with the JFIF APP0 wrapper and the standard Annex K quantization/Huffman
+tables (also reproduced in RFC 2435 §Appendix A):
+
+* ``encode_jpeg`` — 8-bit RGB → interchange-format JFIF bytes: YCbCr
+  (BT.601 full-range as in JFIF), 4:4:4 sampling, 8×8 orthonormal FDCT
+  (one einsum over all blocks), IJG-style quality scaling of the Annex K
+  tables, zigzag + DC-differential + run-length/magnitude Huffman coding
+  with byte stuffing.  The output is a standard baseline JPEG any decoder
+  can read.
+* ``decode_jpeg`` — general BASELINE decoder: parses DQT/DHT/SOF0/DRI/SOS,
+  builds canonical Huffman tables from the file (not from assumptions),
+  entropy-decodes interleaved MCUs at arbitrary sampling factors (4:4:4,
+  4:2:0, 4:2:2, …), handles restart markers, dequantizes, IDCTs, upsamples
+  and converts back to RGB.  Progressive (SOF2) and arithmetic-coded files
+  are rejected with a clear error.
+
+Scale note: the entropy coder is a per-block Python loop — fine for the
+payload-sized images this engine's tests and benches decode inside Arrow
+batches (a 64×64 image is 192 blocks), and the DCT/color math is fully
+vectorized; a production deployment would swap libjpeg in at the
+``encode_lossy``/``decode_lossy`` seam in ``sources/images.py`` without
+touching any Spark plan.  Reference parity: the reference worker stores
+fetched bodies verbatim and never decodes images (crawler_message_item.go);
+this module is beyond-parity training-data surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- constants from ITU-T T.81 Annex K (public) --------------------------------
+
+#: zigzag position → raster index inside an 8×8 block
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# standard Huffman specs: (BITS counts for code lengths 1..16, HUFFVAL)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+#: orthonormal 8-point DCT-II matrix: FDCT = M @ block @ M.T, IDCT = M.T @ c @ M
+_M = np.array([
+    [
+        (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+        * np.cos((2 * x + 1) * u * np.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+])
+
+
+def _scaled_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling (1..100) of the Annex K base tables."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_QT_LUMA, _QT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _canonical_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) per T.81 Annex C code assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) per T.81 F.1.2.1 — negatives one's-complement."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    p = px.astype(np.float64)
+    y = 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+    cb = -0.168736 * p[..., 0] - 0.331264 * p[..., 1] + 0.5 * p[..., 2] + 128.0
+    cr = 0.5 * p[..., 0] - 0.418688 * p[..., 1] - 0.081312 * p[..., 2] + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) level-shifted plane, H/W multiples of 8 → (n_blocks, 8, 8)
+    DCT coefficients, blocks in raster order — one einsum for the lot."""
+    h, w = plane.shape
+    b = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    c = np.einsum("ux,byxz,vz->byuv", _M, b, _M)
+    return c.reshape(-1, 8, 8)
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """8-bit RGB (h, w, 3) → baseline JFIF bytes (4:4:4, Annex K tables at
+    the given IJG quality, standard Huffman tables)."""
+    h, w, _ = pixels.shape
+    qt_l, qt_c = _scaled_tables(quality)
+    ycc = _rgb_to_ycbcr(pixels)
+    ph, pw = -h % 8, -w % 8  # edge-replicate to block multiples
+    ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
+
+    comps = []  # (quantized zigzag blocks, dc_codes, ac_codes)
+    dc_l = _canonical_codes(*_DC_LUMA)
+    ac_l = _canonical_codes(*_AC_LUMA)
+    dc_c = _canonical_codes(*_DC_CHROMA)
+    ac_c = _canonical_codes(*_AC_CHROMA)
+    for ci in range(3):
+        qt = qt_l if ci == 0 else qt_c
+        coef = _fdct_blocks(ycc[..., ci] - 128.0)
+        # quantize in raster order, then reorder each block to zigzag
+        qz = np.round(coef.reshape(-1, 64) / qt[None, :]).astype(np.int64)
+        qz = qz[:, ZIGZAG]
+        comps.append((qz, (dc_l if ci == 0 else dc_c), (ac_l if ci == 0 else ac_c)))
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    n_blocks = comps[0][0].shape[0]
+    for bi in range(n_blocks):  # 4:4:4 → MCU = one block per component
+        for ci, (qz, dc_codes, ac_codes) in enumerate(comps):
+            blk = qz[bi]
+            diff = int(blk[0]) - preds[ci]
+            preds[ci] = int(blk[0])
+            size, amp = _magnitude(diff)
+            code, length = dc_codes[size]
+            bw.write(code, length)
+            if size:
+                bw.write(amp, size)
+            run = 0
+            nz = np.nonzero(blk[1:])[0]
+            last = int(nz[-1]) + 1 if nz.size else 0
+            for k in range(1, last + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                size, amp = _magnitude(v)
+                code, length = ac_codes[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(amp, size)
+                run = 0
+            if last < 63:
+                code, length = ac_codes[0x00]  # EOB
+                bw.write(code, length)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = [struct.pack(">H", 0xFFD8)]  # SOI
+    out.append(seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)))
+    out.append(seg(0xFFDB, bytes([0x00]) + bytes(qt_l[ZIGZAG].tolist())))
+    out.append(seg(0xFFDB, bytes([0x01]) + bytes(qt_c[ZIGZAG].tolist())))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += struct.pack(">BBB", cid, 0x11, tq)  # h=v=1 (4:4:4)
+    out.append(seg(0xFFC0, sof))
+    for tc_th, (bits, vals) in (
+        (0x00, _DC_LUMA), (0x10, _AC_LUMA), (0x01, _DC_CHROMA), (0x11, _AC_CHROMA),
+    ):
+        out.append(seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals)))
+    sos = struct.pack(">B", 3)
+    for cid, tdta in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        sos += struct.pack(">BB", cid, tdta)
+    sos += b"\x00\x3f\x00"
+    out.append(seg(0xFFDA, sos))
+    out.append(entropy)
+    out.append(struct.pack(">H", 0xFFD9))  # EOI
+    return b"".join(out)
+
+
+# -- decoder --------------------------------------------------------------------
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing and RSTn handling."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            byte = 0  # past-the-end / at-a-marker: zero padding — the MCU
+            if self.pos < len(d):  # loop consumes only what the scan defines
+                byte = d[self.pos]
+                if byte == 0xFF:
+                    nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                    if nxt == 0x00:
+                        self.pos += 2  # stuffed 0xFF data byte
+                    else:
+                        byte = 0  # real marker: do NOT consume (restart()
+                        # or the caller's segment walk handles it)
+                else:
+                    self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (T.81 F.2.1.3.1)."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise EOFError("expected restart marker")
+
+
+def _decode_tables(bits, vals) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, canonical assignment (decoder side)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(amp: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: undo one's-complement negative coding."""
+    if size == 0:
+        return 0
+    return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF/JPEG bytes → 8-bit RGB (h, w, 3).  General baseline
+    decoder: tables and sampling factors come from the FILE."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    scan_pos = -1
+    scan_comps: list[dict] = []
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                flat = np.zeros(64, dtype=np.int64)
+                flat[ZIGZAG] = np.frombuffer(
+                    body[bpos + 1 : bpos + 65], dtype=np.uint8
+                ).astype(np.int64)
+                qts[tq] = flat
+                bpos += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline + extended sequential)
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+        elif marker in (0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("arithmetic-coded JPEG not supported")
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 0x0F
+                bits = list(body[bpos + 1 : bpos + 17])
+                n = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + n])
+                huff[(tc, th)] = _decode_tables(bits, vals)
+                bpos += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cid, tdta = body[1 + 2 * i : 3 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cid)
+                scan_comps.append({**comp, "td": tdta >> 4, "ta": tdta & 0x0F})
+            scan_pos = pos + 2 + seg_len
+            break  # baseline: single scan
+        pos += 2 + seg_len
+    if scan_pos < 0 or not comps:
+        raise ValueError("no SOS/SOF found")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    }
+    br = _BitReader(data, scan_pos)
+    preds = {c["id"]: 0 for c in scan_comps}
+    idct = _M.T
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.restart()
+                preds = {c["id"]: 0 for c in scan_comps}
+            mcu_count += 1
+            for c in scan_comps:
+                dc_tab = huff[(0, c["td"])]
+                ac_tab = huff[(1, c["ta"])]
+                qt = qts[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = _read_symbol(br, dc_tab)
+                        diff = _extend(br.bits(size), size)
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, ac_tab)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 0x0F
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.bits(size), size)
+                            k += 1
+                        flat = np.zeros(64, dtype=np.float64)
+                        flat[ZIGZAG] = zz  # de-zigzag → raster order
+                        block = (flat * qt.astype(np.float64)).reshape(8, 8)
+                        pix = idct @ block @ _M + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix
+
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(full[0].round(), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    return _ycbcr_to_rgb(full[0], full[1], full[2])

@@ -26,7 +26,7 @@ def test_lossy_psnr_above_gate():
     px = img.make_pixels(rng, 32, 32)
     dec = img.decode_lossy(img.encode_lossy(px))
     p = img.psnr(px, dec)
-    assert 40.0 <= p < 60.0  # quantization step 4 ≈ 46.9 dB
+    assert 40.0 <= p < 60.0  # real baseline JPEG at quality 98 ≈ 43-44 dB
 
 
 def test_psnr_identical_is_inf():
@@ -86,6 +86,32 @@ class TestFrameSample:
 
         from govuk_crawler_worker_spark.operators.multimodal import frame_sample
 
-        df = spark.createDataFrame([("v", b"RIFFxxxx")], "video_id string, bytes binary")
+        df = spark.createDataFrame([("v", b"NOPExxxx")], "video_id string, bytes binary")
         with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
             frame_sample(df).collect()
+
+    def test_frame_sample_over_real_mjpeg_avi(self, spark):
+        """r6: frame_sample consumes a REAL Motion-JPEG AVI — standard RIFF
+        container, baseline-JPEG frame chunks — with the same plan shape as
+        the raw container; sampled frames match the source within the JPEG
+        quality's PSNR."""
+        import numpy as np
+
+        from govuk_crawler_worker_spark.operators.multimodal import frame_sample
+        from govuk_crawler_worker_spark.sources import images as img
+
+        rng = np.random.default_rng(23)
+        vids = {}
+        rows = []
+        for vid in ("a0", "a1"):
+            frames = [img.make_pixels(rng, 16, 8) for _ in range(5)]
+            vids[vid] = frames
+            rows.append((vid, img.encode_avi_mjpeg(frames, fps=10, quality=95)))
+        df = spark.createDataFrame(rows, "video_id string, bytes binary")
+        out = frame_sample(df, every_n=2).collect()
+        got = {(r["video_id"], r["frame_idx"]) for r in out}
+        assert got == {(v, i) for v in vids for i in (0, 2, 4)}
+        for r in out:
+            px = img.decode_png(bytes(r["frame_bytes"]))
+            assert img.psnr(vids[r["video_id"]][r["frame_idx"]], px) >= 34.0
+            assert (r["w"], r["h"]) == (16, 8)

@@ -452,6 +452,31 @@ class TestDedupLifecycle:
         assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
         assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
 
+    def test_kmeans_reseeds_empty_clusters_deterministically(self, spark):
+        """Two tight orthogonal groups under a k far above the direction
+        count: several clusters MUST come up empty, and the reseed (worst-
+        served point, deterministic tie-break) has to (a) stay reproducible
+        run-to-run and (b) leave the two groups on different centroids —
+        keep-previous left dead centroids dead and could starve one group."""
+        from govuk_crawler_worker_spark.operators.similarity import kmeans_fit
+
+        rows = []
+        for i in range(30):
+            e = [0.0] * 8
+            e[0] = 1.0 + (i % 3) * 1e-3
+            rows.append((i, e))
+            e2 = [0.0] * 8
+            e2[1] = 1.0 + (i % 3) * 1e-3
+            rows.append((100 + i, e2))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        c1 = kmeans_fit(emb, k=6, iters=3, dim=8)
+        c2 = kmeans_fit(emb, k=6, iters=3, dim=8)
+        assert np.allclose(c1, c2)
+        n = c1 / np.maximum(np.linalg.norm(c1, axis=1, keepdims=True), 1e-12)
+        a0 = int((np.eye(8)[0] @ n.T).argmax())
+        a1 = int((np.eye(8)[1] @ n.T).argmax())
+        assert a0 != a1
+
     def test_banding_query_does_not_accrete_blocks(self, spark):
         """The simhash_banding_complete driver query lazily localCheckpoints
         its signature table (r5 VERDICT: eager paid a dedicated job; a bare
@@ -469,12 +494,14 @@ class TestDedupLifecycle:
         base = n_persistent()
         for _ in range(3):
             assert q(spark, "/root/testdata/sf0.001").count() == 1
-        # the ContextCleaner releases checkpointed blocks via GC weak refs —
-        # asynchronously; poll briefly rather than asserting instantly
-        deadline = time.monotonic() + 15
+        # the ContextCleaner releases checkpointed blocks only after BOTH
+        # collectors run: CPython GC frees the py4j handle, JVM GC triggers
+        # the cleaner's weak references — nudge both and poll
+        deadline = time.monotonic() + 30
         while time.monotonic() < deadline:
             gc.collect()
+            spark.sparkContext._jvm.System.gc()
             if n_persistent() - base <= 1:
                 break
-            time.sleep(0.25)
+            time.sleep(0.5)
         assert n_persistent() - base <= 1
