@@ -761,6 +761,32 @@ def _audio_chunks_sanity(spark, sf):
     ).orderBy("clip_id")
 
 
+def _scrub_pii(spark, sf):
+    """PII redaction (r6): the documents text is synthetic words, so the
+    query PLANTS deterministic PII derived from doc_id (an email for every
+    doc, an IPv4 for every doc, a phone for every third) with the same
+    concat formula the SQL oracle uses — DuckDB then replays the staged
+    count+replace chain (emails → IPs → phones, counts taken on the stage
+    inputs) value-for-value, including the scrubbed text itself."""
+    from govuk_crawler_worker_spark.operators.text import scrub_pii
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" call +44 20 79460958")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_pii(d)
+
+
 def _video_frame_index(spark, sf):
     """frame_sample over REAL Motion-JPEG AVI containers (r6): six videos
     with formula-fixed frame counts (3 + vid%4) sampled every 2nd frame, so
@@ -835,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_sanity": _image_features_sanity,
         "audio_chunks_sanity": _audio_chunks_sanity,
         "video_frame_index": _video_frame_index,
+        "scrub_pii": _scrub_pii,
     }
 
 
@@ -1243,6 +1270,52 @@ def oracle_sql() -> dict[str, str]:
                    true AS chunks_ok, true AS samples_ok,
                    true AS start_ok, true AS resample_ok
             FROM range(8) t(r) ORDER BY clip_id
+        """,
+        # staged PII count+replace replay: counts are taken on each stage's
+        # INPUT (emails on raw, IPs after email replace, phones after IP
+        # replace), mirroring operators/text.scrub_pii exactly; the patterns
+        # are written to mean the same thing in Java regex and RE2
+        "scrub_pii": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                          || CASE WHEN doc_id % 3 = 0
+                                  THEN ' call +44 20 79460958' ELSE '' END AS t0
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id, t0,
+                     len(regexp_extract_all(t0,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                     regexp_replace(t0,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') AS t1
+              FROM planted
+            ),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     len(regexp_extract_all(t1,
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS n_ips,
+                     regexp_replace(t1,
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                         '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '\\+?\\d[\\d()\\- ]{6,}\\d\\b',
+                                  '<PHONE>', 'g') AS text,
+                   CAST(n_emails AS BIGINT) AS n_emails,
+                   CAST(n_ips AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(t2, '\\+?\\d[\\d()\\- ]{6,}\\d\\b'))
+                        AS BIGINT) AS n_phones,
+                   CAST(n_emails + n_ips
+                        + len(regexp_extract_all(t2, '\\+?\\d[\\d()\\- ]{6,}\\d\\b'))
+                        AS BIGINT) AS pii_total
+            FROM s2
         """,
         # the AVI frame-count formula (n = 3 + vid%4, stride 2) restated:
         # sampled indices per video are range(0, n, 2) at constant 16×8

@@ -213,3 +213,43 @@ def curate_corpus(
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
         .select("doc_id", "text_md5", "dup_count")
     )
+
+
+# -- PII scrubbing (r6) --------------------------------------------------------
+
+#: patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB) so the same
+#: strings drive the engine and its oracle: email, IPv4, international-ish
+#: phone (8+ digits with separators, optional +)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d()\- ]{6,}\d\b",
+}
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped digit runs from a text column —
+    the standard compliance pass before corpus publication.  Pure columnar
+    (``regexp_count`` + chained ``regexp_replace``, whole-stage codegen; no
+    Python on the hot path), so it scales as a map-only stage: no shuffle,
+    predicate/column pruning intact.  Order matters: emails are counted and
+    replaced FIRST (an address can contain digits a later pattern would
+    claim), then IPs (a dotted quad would otherwise be eaten by the phone
+    pattern), then phones.  Returns (doc_id, text, n_emails, n_ips,
+    n_phones, pii_total) with ``text`` scrubbed to ``<EMAIL>``/``<IP>``/
+    ``<PHONE>`` tokens."""
+    t0 = F.col(text_col)
+    n_email = F.regexp_count(t0, F.lit(PII_PATTERNS["email"]))
+    t1 = F.regexp_replace(t0, PII_PATTERNS["email"], "<EMAIL>")
+    n_ip = F.regexp_count(t1, F.lit(PII_PATTERNS["ip"]))
+    t2 = F.regexp_replace(t1, PII_PATTERNS["ip"], "<IP>")
+    n_phone = F.regexp_count(t2, F.lit(PII_PATTERNS["phone"]))
+    t3 = F.regexp_replace(t2, PII_PATTERNS["phone"], "<PHONE>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        t3.alias("text"),
+        n_email.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ips"),
+        n_phone.cast("long").alias("n_phones"),
+        (n_email + n_ip + n_phone).cast("long").alias("pii_total"),
+    )

@@ -470,12 +470,25 @@ class DrainLoop:
                 )
         return self.catalog.read("frontier", S.FRONTIER_SCHEMA), False
 
-    def _claim_stage(self, frontier: DataFrame, b: int, eligible_hint: int | None):
+    def _claim_stage(
+        self,
+        frontier: DataFrame,
+        b: int,
+        eligible_hint: int | None,
+        live_delays: DataFrame | None = None,
+    ):
         """Eligibility filter + salted politeness budget + global top-K,
         rebalanced by url_hash.  Returns a LAZY plan — run_batch
         materializes it (localCheckpoint) only when something must be
         collected off it before the fetch (priority-pruning fallback count,
-        claim-gate bucket footprint past the seen broadcast threshold)."""
+        claim-gate bucket footprint past the seen broadcast threshold).
+
+        ``live_delays`` (r6): (host, crawl_delay) rows from live robots.txt
+        ``Crawl-delay`` directives — the tiny ``robots_delays`` catalog
+        table, broadcast-joined here so the per-host budget becomes
+        min(config budget, accumulated-fairness live budget).  A delay
+        longer than the batch period legitimately yields budget 0 on some
+        batches (the host is claimed every ⌈d/P⌉-th batch)."""
         cfg = self.config
         eligible = frontier.where(F.col("not_before_batch") <= F.lit(b))
 
@@ -484,9 +497,21 @@ class DrainLoop:
             budget = F.when(
                 F.col("host") == host, F.lit(cfg.host_budget(host))
             ).otherwise(budget)
+        if live_delays is not None:
+            from govuk_crawler_worker_spark.plans.robots import (
+                crawl_delay_budget_col,
+            )
+
+            eligible = eligible.join(F.broadcast(live_delays), "host", "left")
+            live_budget = crawl_delay_budget_col(
+                F.col("crawl_delay"), b, cfg.batch_period_s
+            )
+            budget = F.when(
+                F.col("crawl_delay").isNotNull(), F.least(budget, live_budget)
+            ).otherwise(budget)
 
         order = [F.col("priority").desc(), F.col("url_canon").asc()]
-        if not self._politeness_on():
+        if not (self._politeness_on() or live_delays is not None):
             # no politeness delay configured → every host budget equals the
             # claim limit and the per-host rank filter is a tautology.  Skip
             # the window: it shuffles into one partition PER HOST, so a hot
@@ -512,6 +537,8 @@ class DrainLoop:
                 .where(F.col("host_rank") <= salt_budget)
                 .drop("host_rank")
             )
+        if live_delays is not None:
+            budgeted = budgeted.drop("crawl_delay")
         # The global top-K claim (orderBy+limit) leaves the batch in ONE
         # partition — poison for every downstream stage.  Skip the sort when
         # the limit cannot bind (frontier smaller than claim_limit — the
@@ -614,7 +641,16 @@ class DrainLoop:
         # floor's dominant cost).
         frontier, pruned = self._read_claim_frontier(prev_meta, eligible_hint)
         prune_seen = seen_size >= self.bloom_min_seen
-        claimed = self._claim_stage(frontier, b, eligible_hint)
+        # live robots Crawl-delay budgets: a TINY side table (only hosts
+        # whose robots.txt declares a delay — maintained by the robots merge
+        # below), broadcast into the claim's politeness window.  Existence
+        # is one manifest lookup; absent table = no live delays anywhere.
+        live_delays = None
+        if self.fetch_robots and self.catalog.exists("robots_delays"):
+            live_delays = self.catalog.read(
+                "robots_delays", "host string, crawl_delay double"
+            )
+        claimed = self._claim_stage(frontier, b, eligible_hint, live_delays)
         if pruned or prune_seen:
             # lazy: the fallback count / bucket-footprint collect right
             # below is the first action and materializes it
@@ -630,7 +666,7 @@ class DrainLoop:
             # unchanged by dropping lower-ranked rows.  Nothing was fetched
             # yet — the fetch runs strictly after the claim is final.
             frontier = self.catalog.read("frontier", S.FRONTIER_SCHEMA)
-            claimed = self._claim_stage(frontier, b, eligible_hint)
+            claimed = self._claim_stage(frontier, b, eligible_hint, live_delays)
             if prune_seen:
                 claimed = claimed.localCheckpoint(eager=False)
 
@@ -681,6 +717,7 @@ class DrainLoop:
         # columnar host-join + exists(prefix) on top of the always-applied
         # static config rules.  Off by default (config-only path unchanged).
         robots_merge = None
+        robots_delays_merge = None
         robots_lookup = None
         if self.fetch_robots:
             from govuk_crawler_worker_spark.plans.robots import (
@@ -752,6 +789,7 @@ class DrainLoop:
                     "host",
                     F.col("prefixes").alias("_op"),
                     F.col("rules").alias("_or"),
+                    F.col("crawl_delay").alias("_od"),
                     F.col("fetched_batch").alias("_ofb"),
                 )
                 has_old = F.col("_ofb").isNotNull()
@@ -769,14 +807,33 @@ class DrainLoop:
                     .otherwise(F.col("rules"))
                     .cast(RULES_TYPE)
                     .alias("rules"),
+                    F.when(unreachable & has_old, F.col("_od"))
+                    .otherwise(F.col("crawl_delay"))
+                    .alias("crawl_delay"),
                     "fetched_batch",
+                )
+                rb_bucket_of = lambda df: F.pmod(  # noqa: E731
+                    F.xxhash64(F.col("host")), F.lit(ROBOTS_BUCKETS)
                 )
                 robots_merge = dict(
                     delta=robots_delta,
                     key="host",
-                    bucket_of=lambda df: F.pmod(
-                        F.xxhash64(F.col("host")), F.lit(ROBOTS_BUCKETS)
-                    ),
+                    bucket_of=rb_bucket_of,
+                    touched=rb_buckets,
+                )
+                # Crawl-delay side table: ONLY hosts declaring a delay live
+                # here (tiny at any scale → broadcastable into the claim's
+                # politeness window); refreshed hosts that dropped their
+                # delay are deleted so the table never over-blocks
+                robots_delays_merge = dict(
+                    delta=robots_delta.where(
+                        F.col("crawl_delay").isNotNull()
+                    ).select("host", "crawl_delay"),
+                    deletes=robots_delta.where(
+                        F.col("crawl_delay").isNull()
+                    ).select("host"),
+                    key="host",
+                    bucket_of=rb_bucket_of,
                     touched=rb_buckets,
                 )
                 robots_lookup = (
@@ -1331,6 +1388,7 @@ class DrainLoop:
         if robots_merge is not None:
             # freshly fetched robots.txt rules ride the same atomic commit
             merges["robots"] = robots_merge
+            merges["robots_delays"] = robots_delays_merge
         if bloom_rows is not None:
             merges["bloom"] = dict(
                 delta=bloom_rows,
@@ -1596,11 +1654,15 @@ class DrainLoop:
                 if int(min_nb) > b:
                     b = int(min_nb)  # all backed off — jump the clock
                     continue
-                if self._politeness_on():
-                    # eligible rows exist but no salt rank won this batch:
-                    # advance ONE batch (bounded by `end`) so the rotating
-                    # remainder can reach the starved URLs — the simulator
-                    # does exactly this (sim.py batch loop never stalls)
+                if self._politeness_on() or (
+                    self.fetch_robots and self.catalog.exists("robots_delays")
+                ):
+                    # eligible rows exist but no salt rank won this batch
+                    # (or a live Crawl-delay budget was 0 for every eligible
+                    # host this batch): advance ONE batch (bounded by `end`)
+                    # so the rotating remainder / fairness floor can reach
+                    # the starved URLs — the simulator does exactly this
+                    # (sim.py batch loop never stalls)
                     b += 1
                     continue
                 break  # no politeness and nothing claimable: done

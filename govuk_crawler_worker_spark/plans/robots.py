@@ -36,7 +36,14 @@ Parsing implements RFC 9309 group + rule semantics:
   (absent file); 5xx / redirect / transport error → UNREACHABLE: the caller
   carries the host's previously stored rules forward, or assumes complete
   disallow when there are none (``fstatus`` column + pipeline composition,
-  plans/pipeline.py).
+  plans/pipeline.py);
+* ``Crawl-delay`` (de-facto extension, not in RFC 9309) is parsed with the
+  same group selection (most polite value when groups combine) and ENFORCED:
+  the pipeline keeps delayed hosts in a tiny ``robots_delays`` catalog table
+  broadcast into the claim's politeness window, where
+  :func:`crawl_delay_budget_col` turns the delay into a per-batch budget
+  (accumulated-fairness floor — a delay longer than the batch period yields
+  0-budget batches rather than starvation).
 
 Each stored rule is pre-translated to an anchored Java regex (``rx``) with
 its raw-pattern octet length (``n``) so the longest-match decision is a pure
@@ -56,7 +63,7 @@ from pyspark.sql import functions as F
 RULES_TYPE = "array<struct<rx:string,n:int,allow:boolean>>"
 ROBOTS_SCHEMA = (
     "host string, scheme string, prefixes array<string>, "
-    f"rules {RULES_TYPE}, fetched_batch long"
+    f"rules {RULES_TYPE}, crawl_delay double, fetched_batch long"
 )
 #: fetch output = table schema + the HTTP status (consumed by the pipeline's
 #: unreachable-robots composition, then dropped before commit)
@@ -67,16 +74,18 @@ ROBOTS_FETCH_SCHEMA = ROBOTS_SCHEMA + ", fstatus int"
 DISALLOW_ALL_RULES = [{"rx": "^/", "n": 1, "allow": False}]
 
 
-def parse_robots(
-    text: str, agent: str = "govuk_crawler_worker_spark"
-) -> list[tuple[str, bool]]:
-    """Ordered ``(pattern, allow)`` rules applying to ``agent`` — the most
-    specific matching user-agent group wins (all groups at that specificity
-    combine), falling back to ``*``.  Deterministic, pure."""
+def _winning_groups(
+    text: str, agent: str
+) -> list[tuple[list[tuple[str, bool]], float | None]]:
+    """Parse groups and return the rule lists + per-group crawl-delay of the
+    groups matching ``agent`` at the WINNING specificity (the most specific
+    matching ``User-agent`` token, falling back to ``*``; RFC 9309 §2.2.1:
+    every group at that specificity combines)."""
     agent_l = agent.lower()
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[str, bool]] = []
+    cur_delay: float | None = None
     in_agents = True  # a User-agent line after rules starts a NEW group
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -86,8 +95,8 @@ def parse_robots(
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
             if not in_agents:
-                groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
+                groups.append((cur_agents, cur_rules, cur_delay))
+                cur_agents, cur_rules, cur_delay = [], [], None
                 in_agents = True
             cur_agents.append(val.lower())
         elif key in ("allow", "disallow"):
@@ -95,19 +104,22 @@ def parse_robots(
             if val:  # an empty pattern matches nothing (empty Disallow =
                 cur_rules.append((val, key == "allow"))  # allow-all)
         elif key == "crawl-delay":
-            in_agents = False  # group rule — recognized, not interpreted
+            in_agents = False
+            try:  # de-facto extension (not in RFC 9309): seconds between GETs
+                d = float(val)
+                if d > 0:
+                    cur_delay = d if cur_delay is None else max(cur_delay, d)
+            except ValueError:
+                pass
         # "sitemap" (and any unknown key) is a NON-group line (RFC 9309
         # §2.2.2): it must neither end a user-agent run nor start a group
         # body, else "User-agent: a ⏎ Sitemap: … ⏎ User-agent: b ⏎
         # Disallow: /p" would silently give agent a allow-all (under-block)
     if cur_agents or cur_rules:
-        groups.append((cur_agents, cur_rules))
-    # RFC 9309 §2.2.1: if more than one group matches at the winning
-    # specificity (e.g. two "User-agent: *" groups), their rules combine —
-    # taking only the first would under-block
+        groups.append((cur_agents, cur_rules, cur_delay))
     best_spec = -1
     specs: list[int] = []
-    for agents, _rules in groups:
+    for agents, _rules, _d in groups:
         spec = -1
         for a in agents:
             if a == "*":
@@ -118,11 +130,33 @@ def parse_robots(
         best_spec = max(best_spec, spec)
     if best_spec < 0:
         return []
+    return [
+        (rules, delay)
+        for spec, (_agents, rules, delay) in zip(specs, groups)
+        if spec == best_spec
+    ]
+
+
+def parse_robots(
+    text: str, agent: str = "govuk_crawler_worker_spark"
+) -> list[tuple[str, bool]]:
+    """Ordered ``(pattern, allow)`` rules applying to ``agent`` — the most
+    specific matching user-agent group wins (all groups at that specificity
+    combine), falling back to ``*``.  Deterministic, pure."""
     out: list[tuple[str, bool]] = []
-    for spec, (_agents, rules) in zip(specs, groups):
-        if spec == best_spec:
-            out.extend(r for r in rules if r not in out)
+    for rules, _delay in _winning_groups(text, agent):
+        out.extend(r for r in rules if r not in out)
     return out
+
+
+def parse_crawl_delay(
+    text: str, agent: str = "govuk_crawler_worker_spark"
+) -> float | None:
+    """``Crawl-delay`` seconds applying to ``agent`` (None when absent).
+    Group selection is identical to the Disallow/Allow rules; when several
+    winning groups declare a delay, the LARGEST (most polite) is used."""
+    delays = [d for _rules, d in _winning_groups(text, agent) if d is not None]
+    return max(delays) if delays else None
 
 
 def rule_regex(pattern: str) -> str:
@@ -169,6 +203,7 @@ def fetch_robots_delta(
             out = []
             for row in pdf.itertuples(index=False):
                 rules: list[dict] = []
+                delay = None
                 try:
                     status, _ctype, body, _final = opener(
                         f"{row.scheme}://{row.host}/robots.txt",
@@ -176,20 +211,38 @@ def fetch_robots_delta(
                         timeout_s,
                     )
                     if 200 <= status < 300 and body:
-                        rules = rules_to_structs(
-                            parse_robots(body.decode("utf-8", "replace"), agent)
-                        )
+                        txt = body.decode("utf-8", "replace")
+                        rules = rules_to_structs(parse_robots(txt, agent))
+                        delay = parse_crawl_delay(txt, agent)
                 except Exception:  # noqa: BLE001 — transport error = unreachable
                     status = -1
-                out.append((row.host, row.scheme, None, rules, batch, int(status)))
+                out.append(
+                    (row.host, row.scheme, None, rules, delay, batch, int(status))
+                )
             yield pd.DataFrame(
                 out,
                 columns=[
-                    "host", "scheme", "prefixes", "rules", "fetched_batch", "fstatus",
+                    "host", "scheme", "prefixes", "rules", "crawl_delay",
+                    "fetched_batch", "fstatus",
                 ],
             )
 
     return stale_hosts.mapInPandas(fetch_part, ROBOTS_FETCH_SCHEMA)
+
+
+def crawl_delay_budget_col(delay_col, batch: int, batch_period_s: float):
+    """Per-batch claim budget from a live ``Crawl-delay``: the
+    accumulated-fairness form floor((b+1)·P/d) − floor(b·P/d) — averages to
+    exactly P/d fetches per batch, yields 0 on individual batches when
+    d > P (a 60 s delay over a 30 s batch period → one fetch every second
+    batch), and never starves: over any N batches the host gets
+    floor(N·P/d) ± 1 fetches.  Pure arithmetic on the joined delay column —
+    no state."""
+    p = float(batch_period_s)
+    return (
+        F.floor(F.lit((batch + 1) * p) / delay_col)
+        - F.floor(F.lit(batch * p) / delay_col)
+    ).cast("int")
 
 
 def robots_unreachable_col():

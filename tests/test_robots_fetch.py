@@ -17,6 +17,7 @@ from collections import defaultdict
 from govuk_crawler_worker_spark.config import CrawlConfig
 from govuk_crawler_worker_spark.plans.pipeline import DrainLoop
 from govuk_crawler_worker_spark.plans.robots import (
+    parse_crawl_delay,
     parse_robots,
     rule_regex,
     rules_to_structs,
@@ -441,3 +442,73 @@ class TestParseRobotsEdgeCases:
         assert parse_robots("User-agent: *\nAllow:\nDisallow: /x\n") == [
             ("/x", False)
         ]
+
+
+class TestParseCrawlDelay:
+    def test_winning_group_delay(self):
+        txt = (
+            "User-agent: *\nCrawl-delay: 5\nDisallow: /x\n\n"
+            "User-agent: govuk_crawler\nCrawl-delay: 9\n"
+        )
+        assert parse_crawl_delay(txt) == 9.0  # specific group wins
+        assert parse_crawl_delay(txt, agent="otherbot") == 5.0
+
+    def test_absent_and_invalid(self):
+        assert parse_crawl_delay("User-agent: *\nDisallow: /x\n") is None
+        assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon\n") is None
+        assert parse_crawl_delay("User-agent: *\nCrawl-delay: -3\n") is None
+
+    def test_combining_groups_take_max(self):
+        txt = (
+            "User-agent: *\nCrawl-delay: 2\n\n"
+            "User-agent: *\nCrawl-delay: 7\nDisallow: /y\n"
+        )
+        # same-specificity groups combine; the most polite delay wins
+        assert parse_crawl_delay(txt) == 7.0
+
+    def test_delay_does_not_leak_rules(self):
+        txt = "User-agent: *\nCrawl-delay: 4\nDisallow: /q\n"
+        assert parse_robots(txt) == [("/q", False)]
+
+
+class TestCrawlDelayDrain:
+    def test_live_crawl_delay_throttles_claims(self, spark):
+        """Crawl-delay: 45 over the default 30 s batch period → budget
+        pattern 0,1,1,0,… per batch: from the batch AFTER the rules land,
+        the host is fetched at most once per batch, every page is still
+        eventually crawled, and the gaps prove zero-budget batches passed
+        without starving the drain."""
+        host = "www.gov.uk"
+        html = "text/html; charset=utf-8"
+        links = "".join(f'<a href="/p{i}">p{i}</a>' for i in range(4))
+        pages = {f"/{host}/": (200, html, links.encode())}
+        for i in range(4):
+            pages[f"/{host}/p{i}"] = (200, html, b"<p>x</p>")
+        pages[f"/{host}/robots.txt"] = (
+            200,
+            "text/plain",
+            b"User-agent: *\nCrawl-delay: 45\n",
+        )
+        cfg = CrawlConfig(root_urls=(f"https://{host}/",))
+        catalog, counts = _run_drain(spark, pages, cfg, max_batches=40)
+        fetched = [
+            (r["batch_id"], r["url"]) for r in catalog.read("fetched").collect()
+        ]
+        assert {u for _b, u in fetched} == {f"https://{host}/"} | {
+            f"https://{host}/p{i}" for i in range(4)
+        }
+        per_batch: dict[int, int] = {}
+        for b, _u in fetched:
+            per_batch[b] = per_batch.get(b, 0) + 1
+        first = min(per_batch)
+        # every batch after the rules landed is throttled to ≤ 1 GET
+        assert all(n <= 1 for b, n in per_batch.items() if b > first)
+        # the d > P budget forced at least one idle batch between fetches
+        later = sorted(b for b in per_batch if b > first)
+        assert any(y - x > 1 for x, y in zip(later, later[1:]))
+        # the delay is catalog state (the tiny side table, not a rescan)
+        delays = {
+            r["host"]: r["crawl_delay"]
+            for r in catalog.read("robots_delays").collect()
+        }
+        assert delays == {host: 45.0}
