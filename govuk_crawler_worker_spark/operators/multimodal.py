@@ -6,7 +6,8 @@ frame-sample run as Arrow-batched ``mapInPandas`` — the Spark-side plumbing
 (schema, batch shape, partitioning) is real and tested; only the codec layer
 is a stub where the container lacks the library:
 
-* ``png`` / ``jpeg``(QIM stand-in) decode — REAL (sources/images.py)
+* ``png`` / ``jpeg`` decode — REAL (sources/images.py + the pure-numpy
+  baseline JPEG codec in sources/jpeg.py; pre-r6 QIM1 payloads still read)
 * any other fmt — raises NotImplementedError, clearly marked, so a real
   deployment drops in libjpeg/ffmpeg bindings without touching plan shape.
 """

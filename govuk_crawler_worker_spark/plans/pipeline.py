@@ -719,6 +719,7 @@ class DrainLoop:
         robots_merge = None
         robots_delays_merge = None
         robots_lookup = None
+        sitemap_candidates = None
         if self.fetch_robots:
             from govuk_crawler_worker_spark.plans.robots import (
                 ROBOTS_SCHEMA,
@@ -767,16 +768,24 @@ class DrainLoop:
                 getattr(self.fetcher, "timeout_s", 10.0),
                 b,
             ).localCheckpoint(eager=True)
-            # bounded collect: one bucket id per refreshed HOST (≤ claim's
-            # distinct hosts), doubling as the empty-delta check
-            rb_buckets = sorted(
-                int(r["rb"])
-                for r in raw_delta.select(
-                    F.pmod(F.xxhash64("host"), F.lit(ROBOTS_BUCKETS)).alias("rb")
+            # bounded collect: one row per touched robots bucket (≤ claim's
+            # distinct hosts), doubling as the empty-delta check and carrying
+            # the did-any-fresh-robots-declare-sitemaps bit (same single job)
+            rb_info = (
+                raw_delta.select(
+                    F.pmod(F.xxhash64("host"), F.lit(ROBOTS_BUCKETS)).alias("rb"),
+                    (
+                        (F.col("fstatus") >= 200)
+                        & (F.col("fstatus") < 300)
+                        & (F.size("sitemaps") > 0)
+                    ).alias("sm"),
                 )
-                .distinct()
+                .groupBy("rb")
+                .agg(F.max("sm").alias("sm"))
                 .collect()
             )
+            rb_buckets = sorted(int(r["rb"]) for r in rb_info)
+            any_sitemaps = any(bool(r["sm"]) for r in rb_info)
             if rb_buckets:
                 # RFC 9309 §2.3.1: a definitive 4xx is allow-all (absent
                 # file), but an UNREACHABLE robots.txt (5xx / redirect /
@@ -790,6 +799,7 @@ class DrainLoop:
                     F.col("prefixes").alias("_op"),
                     F.col("rules").alias("_or"),
                     F.col("crawl_delay").alias("_od"),
+                    F.col("sitemaps").alias("_osm"),
                     F.col("fetched_batch").alias("_ofb"),
                 )
                 has_old = F.col("_ofb").isNotNull()
@@ -810,6 +820,9 @@ class DrainLoop:
                     F.when(unreachable & has_old, F.col("_od"))
                     .otherwise(F.col("crawl_delay"))
                     .alias("crawl_delay"),
+                    F.when(unreachable & has_old, F.col("_osm"))
+                    .otherwise(F.col("sitemaps"))
+                    .alias("sitemaps"),
                     "fetched_batch",
                 )
                 rb_bucket_of = lambda df: F.pmod(  # noqa: E731
@@ -841,6 +854,47 @@ class DrainLoop:
                     .unionByName(robots_delta)
                     .select("host", "prefixes", "rules")
                 )
+                if any_sitemaps:
+                    # Sitemap ingestion (r6): sitemaps declared by FRESHLY
+                    # fetched robots.txt files are GET'd once per robots TTL
+                    # (executor-side, exactly-once via eager checkpoint —
+                    # the page-fetch rule), <loc> entries extracted, one
+                    # bounded nested level (sitemap indexes) followed, and
+                    # the page URLs fed into THIS batch's publish stage —
+                    # where the normal host-whitelist / blacklist /
+                    # param-gate / seen-dedup gates apply, so a TTL refresh
+                    # re-listing known URLs is anti-joined away for free.
+                    from govuk_crawler_worker_spark.plans.robots import (
+                        fetch_sitemap_locs_delta,
+                    )
+
+                    _sm_args = (
+                        self.fetcher.opener,
+                        getattr(self.fetcher, "_headers", lambda h: {}),
+                        getattr(self.fetcher, "timeout_s", 10.0),
+                    )
+                    sm_urls = (
+                        raw_delta.where(
+                            (F.col("fstatus") >= 200) & (F.col("fstatus") < 300)
+                        )
+                        .select(F.explode("sitemaps").alias("sm_url"))
+                        .distinct()
+                    )
+                    locs = fetch_sitemap_locs_delta(
+                        sm_urls, *_sm_args
+                    ).localCheckpoint(eager=True)
+                    nested = locs.where(F.col("is_xml")).select(
+                        F.col("loc").alias("sm_url")
+                    ).distinct()
+                    if nested.count() > 0:  # cheap: locs is checkpointed
+                        locs = locs.unionByName(
+                            fetch_sitemap_locs_delta(
+                                nested, *_sm_args
+                            ).localCheckpoint(eager=True)
+                        )
+                    sitemap_candidates = locs.where(~F.col("is_xml")).select(
+                        F.col("sm_url").alias("src"), F.col("loc").alias("url")
+                    )
             else:
                 robots_lookup = robots_tbl.select("host", "prefixes", "rules")
         # NB: transformation chains here are batched into few select() calls —
@@ -1001,6 +1055,15 @@ class DrainLoop:
             html_rows.where(~F.col("ex.error"))
             .select(F.col("url").alias("src"), F.explode("ex.urls").alias("url"))
         )
+        if sitemap_candidates is not None:
+            # sitemap-discovered URLs enter the SAME publish gates as
+            # extracted links; the extract UDF's host/blacklist filters
+            # (which sitemap URLs bypass) are applied here explicitly
+            candidates = candidates.unionByName(
+                sitemap_candidates.where(
+                    u["allowed_host"]("url") & ~u["is_blacklisted"]("url")
+                )
+            )
         stats.stage_ms["extract_urls"] = (time.monotonic() - stage_t) * 1000
         stage_t = time.monotonic()
 

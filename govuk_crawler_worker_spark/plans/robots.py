@@ -63,7 +63,8 @@ from pyspark.sql import functions as F
 RULES_TYPE = "array<struct<rx:string,n:int,allow:boolean>>"
 ROBOTS_SCHEMA = (
     "host string, scheme string, prefixes array<string>, "
-    f"rules {RULES_TYPE}, crawl_delay double, fetched_batch long"
+    f"rules {RULES_TYPE}, crawl_delay double, sitemaps array<string>, "
+    "fetched_batch long"
 )
 #: fetch output = table schema + the HTTP status (consumed by the pipeline's
 #: unreachable-robots composition, then dropped before commit)
@@ -159,6 +160,77 @@ def parse_crawl_delay(
     return max(delays) if delays else None
 
 
+def parse_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` URLs — NON-group lines (RFC 9309 §2.2.2): they apply
+    regardless of which user-agent group wins, anywhere in the file."""
+    out: list[str] = []
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, val = line.partition(":")  # first ':' only — the URL's own
+        u = val.strip()  # '://' survives in val
+        if key.strip().lower() == "sitemap" and u and u not in out:
+            out.append(u)
+    return out
+
+
+_LOC_RE = _re.compile(r"<loc>\s*(.*?)\s*</loc>", _re.IGNORECASE | _re.DOTALL)
+_XML_UNESCAPE = {
+    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'",
+}
+
+
+def parse_sitemap_locs(xml_text: str) -> list[str]:
+    """``<loc>`` values from a sitemap or sitemap-index document (the
+    sitemaps.org schema, regex-extracted — the documents are flat and the
+    five XML entities are the only escaping ``<loc>`` content may carry)."""
+    out: list[str] = []
+    for m in _LOC_RE.finditer(xml_text or ""):
+        u = m.group(1)
+        for ent, ch in _XML_UNESCAPE.items():
+            u = u.replace(ent, ch)
+        if u and u not in out:
+            out.append(u)
+    return out
+
+
+def fetch_sitemap_locs_delta(
+    sitemap_urls: DataFrame, opener, headers_for, timeout_s: float
+) -> DataFrame:
+    """(sm_url) rows → (sm_url, loc, is_xml) rows: one GET per sitemap URL
+    inside mapInPandas (executors fetch, one row per ``<loc>`` entry;
+    ``is_xml`` marks nested sitemap-index entries for the caller's bounded
+    second pass).  Failed or non-2xx sitemaps yield no rows — a sitemap is
+    discovery surface, never correctness surface.  The caller MUST eagerly
+    checkpoint the result (side-effecting GETs, the page-fetch rule)."""
+    import pandas as pd
+    from urllib.parse import urlsplit
+
+    def fetch_part(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    host = urlsplit(r.sm_url).netloc.split(":")[0]
+                    status, _ct, body, _f = opener(
+                        r.sm_url, headers_for(host), timeout_s
+                    )
+                    if 200 <= status < 300 and body:
+                        for loc in parse_sitemap_locs(
+                            body.decode("utf-8", "replace")
+                        ):
+                            low = loc.lower().split("?", 1)[0]
+                            rows.append(
+                                (r.sm_url, loc, low.endswith((".xml", ".xml.gz")))
+                            )
+                except Exception:  # noqa: BLE001 — unreachable sitemap = no rows
+                    pass
+            yield pd.DataFrame(rows, columns=["sm_url", "loc", "is_xml"])
+
+    return sitemap_urls.mapInPandas(
+        fetch_part, "sm_url string, loc string, is_xml boolean"
+    )
+
+
 def rule_regex(pattern: str) -> str:
     """RFC 9309 §2.2.3 pattern → anchored Java-compatible regex: ``*``
     matches any character sequence, a trailing ``$`` anchors the end; every
@@ -204,6 +276,7 @@ def fetch_robots_delta(
             for row in pdf.itertuples(index=False):
                 rules: list[dict] = []
                 delay = None
+                sitemaps: list[str] = []
                 try:
                     status, _ctype, body, _final = opener(
                         f"{row.scheme}://{row.host}/robots.txt",
@@ -214,16 +287,20 @@ def fetch_robots_delta(
                         txt = body.decode("utf-8", "replace")
                         rules = rules_to_structs(parse_robots(txt, agent))
                         delay = parse_crawl_delay(txt, agent)
+                        sitemaps = parse_sitemaps(txt)
                 except Exception:  # noqa: BLE001 — transport error = unreachable
                     status = -1
                 out.append(
-                    (row.host, row.scheme, None, rules, delay, batch, int(status))
+                    (
+                        row.host, row.scheme, None, rules, delay, sitemaps,
+                        batch, int(status),
+                    )
                 )
             yield pd.DataFrame(
                 out,
                 columns=[
                     "host", "scheme", "prefixes", "rules", "crawl_delay",
-                    "fetched_batch", "fstatus",
+                    "sitemaps", "fetched_batch", "fstatus",
                 ],
             )
 

@@ -471,6 +471,84 @@ class TestParseCrawlDelay:
         assert parse_robots(txt) == [("/q", False)]
 
 
+class TestParseSitemaps:
+    def test_sitemap_lines_are_agent_independent(self):
+        from govuk_crawler_worker_spark.plans.robots import parse_sitemaps
+
+        txt = (
+            "Sitemap: https://x/a.xml\nUser-agent: otherbot\nDisallow: /\n"
+            "Sitemap: https://x/b.xml # comment\nSitemap: https://x/a.xml\n"
+        )
+        assert parse_sitemaps(txt) == ["https://x/a.xml", "https://x/b.xml"]
+
+    def test_loc_extraction_and_entities(self):
+        from govuk_crawler_worker_spark.plans.robots import parse_sitemap_locs
+
+        xml = (
+            '<?xml version="1.0"?><urlset>'
+            "<url><loc> https://x/p?a=1&amp;b=2 </loc></url>"
+            "<url><LOC>https://x/q</LOC></url>"
+            "<url><loc>https://x/q</loc></url></urlset>"
+        )
+        assert parse_sitemap_locs(xml) == ["https://x/p?a=1&b=2", "https://x/q"]
+
+
+class TestSitemapDrain:
+    def test_sitemap_urls_are_discovered_and_gated(self, spark):
+        """robots.txt Sitemap → sitemap INDEX → child sitemap → pages that
+        no crawled page links to: they must still be fetched, while
+        cross-host and blacklisted <loc> entries are gated out; the sitemap
+        GETs happen exactly once per robots TTL."""
+        host = "www.gov.uk"
+        html = "text/html; charset=utf-8"
+        xml = "application/xml"
+        pages = {
+            f"/{host}/": (200, html, b"<p>no links at all</p>"),
+            f"/{host}/orphan1": (200, html, b"<p>found via sitemap</p>"),
+            f"/{host}/orphan2": (200, html, b"<p>me too</p>"),
+            f"/{host}/search/hidden": (200, html, b"<p>blacklisted</p>"),
+            f"/{host}/robots.txt": (
+                200,
+                "text/plain",
+                f"User-agent: *\nDisallow: /search\nSitemap: https://{host}/sitemap.xml\n".encode(),
+            ),
+            f"/{host}/sitemap.xml": (
+                200,
+                xml,
+                f'<sitemapindex><sitemap><loc>https://{host}/sitemap-0.xml</loc>'
+                f"</sitemap></sitemapindex>".encode(),
+            ),
+            f"/{host}/sitemap-0.xml": (
+                200,
+                xml,
+                (
+                    f"<urlset>"
+                    f"<url><loc>https://{host}/orphan1</loc></url>"
+                    f"<url><loc>https://{host}/orphan2</loc></url>"
+                    f"<url><loc>https://evil.example.com/x</loc></url>"
+                    f"<url><loc>https://{host}/search/hidden</loc></url>"
+                    f"</urlset>"
+                ).encode(),
+            ),
+        }
+        cfg = CrawlConfig(
+            root_urls=(f"https://{host}/",), blacklist_paths=("/search",)
+        )
+        catalog, counts = _run_drain(spark, pages, cfg, max_batches=12)
+        fetched = {r["url"] for r in catalog.read("fetched").collect()}
+        assert f"https://{host}/orphan1" in fetched
+        assert f"https://{host}/orphan2" in fetched
+        assert f"https://{host}/search/hidden" not in fetched
+        assert counts[f"/{host}/search/hidden"] == 0
+        assert all("evil.example.com" not in u for u in fetched)
+        # exactly one GET per sitemap document across the whole drain (TTL)
+        assert counts[f"/{host}/sitemap.xml"] == 1
+        assert counts[f"/{host}/sitemap-0.xml"] == 1
+        # the declared sitemap is catalog state
+        row = catalog.read("robots").collect()[0]
+        assert list(row["sitemaps"]) == [f"https://{host}/sitemap.xml"]
+
+
 class TestCrawlDelayDrain:
     def test_live_crawl_delay_throttles_claims(self, spark):
         """Crawl-delay: 45 over the default 30 s batch period → budget
