@@ -480,11 +480,10 @@ class TestDedupLifecycle:
     def test_banding_query_does_not_accrete_blocks(self, spark):
         """The simhash_banding_complete driver query lazily localCheckpoints
         its signature table (r5 VERDICT: eager paid a dedicated job; a bare
-        persist accreted blocks).  Repeated calls in a long-lived session
-        must release each call's checkpoint once the result is dropped."""
-        import gc
-        import time
-
+        persist accreted blocks) and, since its result is one aggregate row,
+        computes it eagerly and unpersists the checkpoint before returning —
+        repeated calls hold ZERO extra blocks, deterministically (no
+        ContextCleaner/GC timing in the assertion)."""
         import __spark_entry__ as em
 
         def n_persistent():
@@ -494,14 +493,4 @@ class TestDedupLifecycle:
         base = n_persistent()
         for _ in range(3):
             assert q(spark, "/root/testdata/sf0.001").count() == 1
-        # the ContextCleaner releases checkpointed blocks only after BOTH
-        # collectors run: CPython GC frees the py4j handle, JVM GC triggers
-        # the cleaner's weak references — nudge both and poll
-        deadline = time.monotonic() + 30
-        while time.monotonic() < deadline:
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            if n_persistent() - base <= 1:
-                break
-            time.sleep(0.5)
-        assert n_persistent() - base <= 1
+        assert n_persistent() - base == 0
