@@ -9,9 +9,11 @@ DataFrame compositions (JVM-side, whole-stage codegen) except where noted:
 * jaccard_word_pairs    — blocked exact Jaccard via hashed-key equi-join,
                           hot-word document-frequency cap
 * minhash_lsh_pairs     — MinHash (32 perms) + banded LSH candidate join
-                          (default 16 bands × 2 rows), verified with exact
-                          Jaccard (no false positives; at the test data's
-                          jaccard floor recall is provably ~1 → full oracle)
+                          (operator default 8 bands × 4 rows; the driver
+                          query passes 16 × 2 for its provable-recall
+                          oracle), verified with exact Jaccard (no false
+                          positives; at the test data's jaccard floor
+                          recall is provably ~1 → full oracle)
 * simhash_pairs         — 64-bit SimHash (vectorized bit-plane votes) +
                           Manku-style (B=6, keep=3) combo banding — ~32-bit
                           keys, sub-quadratic past 65k docs — then exact
@@ -64,6 +66,7 @@ def jaccard_word_pairs(
     id_col: str = "doc_id",
     block_col: str = "source",
     max_word_df: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact word-set Jaccard over candidate pairs sharing a block.
 
@@ -82,21 +85,34 @@ def jaccard_word_pairs(
     ws = _word_sets(docs, text_col, id_col, block_col)
     # the join key is xxhash64(block ␟ word): one 8-byte long instead of two
     # strings through the self-join shuffle (a 64-bit collision across the
-    # ~1e5-entry vocabulary is ~1e-9 — far below any other error source)
-    exploded = (
-        ws.select("doc_id", "block", F.explode("words").alias("word"))
-        .select(
-            "doc_id", F.xxhash64(F.concat_ws("\x1f", "block", "word")).alias("bw")
-        )
+    # ~1e5-entry vocabulary is ~1e-9 — far below any other error source).
+    # ONE scan of the corpus (the minhash_lsh_pairs r6 pattern): hash the
+    # word array per row — no shuffle — and persist the compact (doc_id,
+    # bws) arrays; the df-cap aggregate, the per-doc sizes, and BOTH sides
+    # of the intersection self-join then re-explode from cache instead of
+    # recomputing split+hash from parquet four times.
+    warr = ws.select(
+        "doc_id",
+        F.transform(
+            "words", lambda w: F.xxhash64(F.concat_ws("\x1f", F.col("block"), w))
+        ).alias("bws"),
     )
+    if materialize:  # materialize=False returns the LAZY plan (plan audits,
+        warr = warr.persist()  # composition) — callers then re-scan per use
     hot = (
-        exploded.groupBy("bw")
+        warr.select(F.explode("bws").alias("bw"))
+        .groupBy("bw")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > max_word_df)
-        .select("bw")
+        .agg(F.collect_list("bw").alias("hot"))  # 1 row, possibly empty list
     )
-    exploded = exploded.join(F.broadcast(hot), "bw", "left_anti")
-    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    filtered = (
+        warr.crossJoin(F.broadcast(hot))
+        .select("doc_id", F.array_except("bws", "hot").alias("bws"))
+        .where(F.size("bws") > 0)
+    )
+    sizes = filtered.select("doc_id", F.size("bws").alias("n"))
+    exploded = filtered.select("doc_id", F.explode("bws").alias("bw"))
 
     inter = (
         exploded.alias("l")
@@ -108,7 +124,7 @@ def jaccard_word_pairs(
         .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
         .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
         .withColumn(
@@ -120,6 +136,14 @@ def jaccard_word_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    if materialize:
+        # materialize the (small) verified pair set, then release the cached
+        # word arrays — the minhash_lsh_pairs lifecycle: the checkpoint
+        # truncates lineage so the returned frame holds no reference to warr
+        # and repeated calls cannot accrete cached blocks
+        out = out.localCheckpoint(eager=True)
+        warr.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

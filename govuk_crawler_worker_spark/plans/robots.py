@@ -10,7 +10,8 @@ config-only rules:
 * a DrainLoop constructed with ``fetch_robots=True`` and an HttpFetcher
   additionally keeps a catalog table
 
-      robots(host, scheme, prefixes, rules, fetched_batch)
+      robots(host, scheme, prefixes, rules, crawl_delay, sitemaps,
+             fetched_batch)
 
   fetched through the SAME opener contract as page GETs — one GET of
   ``<scheme>://<host>/robots.txt`` per host per TTL, executed inside
@@ -69,11 +70,6 @@ ROBOTS_SCHEMA = (
 #: fetch output = table schema + the HTTP status (consumed by the pipeline's
 #: unreachable-robots composition, then dropped before commit)
 ROBOTS_FETCH_SCHEMA = ROBOTS_SCHEMA + ", fstatus int"
-
-#: RFC 9309 §2.3.1.4: an unreachable robots.txt with no cached version means
-#: complete disallow — one rule matching every path, minimal precedence
-DISALLOW_ALL_RULES = [{"rx": "^/", "n": 1, "allow": False}]
-
 
 def _winning_groups(
     text: str, agent: str
