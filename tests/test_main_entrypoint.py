@@ -54,6 +54,17 @@ def test_main_env_wiring_end_to_end(spark):
         srv.shutdown()
 
 
+def test_maintain_rejects_unknown_command(spark):
+    import pytest
+
+    with pytest.raises(SystemExit, match="unknown command"):
+        maintain(
+            "definitely-not-a-command",
+            env={"CHECKPOINT_DIR": tempfile.mkdtemp(prefix="cli_bad_")},
+            spark=spark,
+        )
+
+
 def test_cli_migration_on_legacy_catalog_then_pruned_drain(spark, monkeypatch):
     """r5 VERDICT #5/#6: the deployable entrypoint can now run the migration
     its env knobs imply, and BLOOM_MIN_SEEN reaches the strategy switch.

@@ -549,6 +549,27 @@ class TestSitemapDrain:
         assert list(row["sitemaps"]) == [f"https://{host}/sitemap.xml"]
 
 
+class TestCrawlDelayBudgetArithmetic:
+    def test_accumulated_fairness_sums_and_zero_batches(self, spark):
+        """Σ over N batches == floor(N·P/d) exactly (no drift, no
+        starvation), and d > P produces genuine 0-budget batches."""
+        from pyspark.sql import functions as F
+
+        from govuk_crawler_worker_spark.plans.robots import crawl_delay_budget_col
+
+        for d, p, n in ((45.0, 30.0, 12), (60.0, 30.0, 9), (7.5, 30.0, 5)):
+            vals = [
+                spark.range(1)
+                .select(crawl_delay_budget_col(F.lit(d), b, p).alias("v"))
+                .collect()[0]["v"]
+                for b in range(n)
+            ]
+            assert sum(vals) == int(n * p // d), (d, vals)
+            if d > p:
+                assert 0 in vals  # throttled batches actually happen
+            assert all(v >= 0 for v in vals)
+
+
 class TestCrawlDelayDrain:
     def test_live_crawl_delay_throttles_claims(self, spark):
         """Crawl-delay: 45 over the default 30 s batch period → budget
