@@ -245,6 +245,10 @@ class DrainLoop:
         self.robots_ttl_batches = max(
             1, math.ceil(config.robots_ttl_s / config.batch_period_s)
         )
+        # unreachable robots.txt (5xx/redirect/transport) is retried after
+        # this window instead of a full TTL — RFC 9309 requires the
+        # complete-disallow only WHILE unreachable (r6 ADVICE)
+        self.robots_retry_batches = max(1, self.robots_ttl_batches // 8)
 
         # ---- state-table bucket geometry (r5: config + catalog-meta stamp) --
         # Requested counts (constructor/config) apply to NEW catalogs and are
@@ -794,6 +798,14 @@ class DrainLoop:
                 # prefixes) forward under the new fetched_batch (retry next
                 # TTL); with no stored row, assume complete disallow.
                 unreachable = robots_unreachable_col()
+                # Unreachable rows are stamped with an EARLIER fetched_batch
+                # so the next claim of the host retries the fetch after a
+                # short window (ttl/8) instead of serving the carried-forward
+                # verdict (complete disallow on first contact!) for a full
+                # TTL — RFC 9309 only requires the disallow WHILE unreachable.
+                retry_stamp = F.lit(
+                    b - self.robots_ttl_batches + self.robots_retry_batches
+                ).cast("long")
                 old = robots_tbl.select(
                     "host",
                     F.col("prefixes").alias("_op"),
@@ -801,6 +813,7 @@ class DrainLoop:
                     F.col("crawl_delay").alias("_od"),
                     F.col("sitemaps").alias("_osm"),
                     F.col("fetched_batch").alias("_ofb"),
+                    F.col("unreachable").alias("_ou"),
                 )
                 has_old = F.col("_ofb").isNotNull()
                 disallow_all = F.expr(
@@ -823,7 +836,19 @@ class DrainLoop:
                     F.when(unreachable & has_old, F.col("_osm"))
                     .otherwise(F.col("sitemaps"))
                     .alias("sitemaps"),
-                    "fetched_batch",
+                    F.when(unreachable, retry_stamp)
+                    .otherwise(F.col("fetched_batch"))
+                    .alias("fetched_batch"),
+                    # True ⟺ the verdict is the ASSUMED disallow-all of an
+                    # unreachable contact with NO real stored rules behind
+                    # it (carried-forward real rules keep ordinary-drop
+                    # semantics; the stored flag rides along so a host first
+                    # seen unreachable stays retryable until a 2xx/4xx)
+                    F.when(
+                        unreachable, F.coalesce(F.col("_ou"), ~has_old)
+                    )
+                    .otherwise(F.lit(False))
+                    .alias("unreachable"),
                 )
                 rb_bucket_of = lambda df: F.pmod(  # noqa: E731
                     F.xxhash64(F.col("host")), F.lit(ROBOTS_BUCKETS)
@@ -852,7 +877,7 @@ class DrainLoop:
                 robots_lookup = (
                     robots_tbl.join(robots_delta.select("host"), "host", "left_anti")
                     .unionByName(robots_delta)
-                    .select("host", "prefixes", "rules")
+                    .select("host", "prefixes", "rules", "unreachable")
                 )
                 if any_sitemaps:
                     # Sitemap ingestion (r6): sitemaps declared by FRESHLY
@@ -896,7 +921,9 @@ class DrainLoop:
                         F.col("sm_url").alias("src"), F.col("loc").alias("url")
                     )
             else:
-                robots_lookup = robots_tbl.select("host", "prefixes", "rules")
+                robots_lookup = robots_tbl.select(
+                    "host", "prefixes", "rules", "unreachable"
+                )
         # NB: transformation chains here are batched into few select() calls —
         # every withColumn re-analyzes the whole growing plan through py4j,
         # and at the BFS floor that driver-side chatter is ~0.4s/batch.
@@ -922,9 +949,16 @@ class DrainLoop:
             # robots.txt disallow rules (north-rule politeness; columnar
             # prefix predicate, no UDF) — dropped like blacklist, pre-fetch
             robots_col.alias("robots_blocked"),
+            # a block backed only by an UNREACHABLE robots fetch (assumed
+            # disallow-all, no real rules) is retryable, not a drop
+            (
+                F.coalesce(F.col("unreachable"), F.lit(False))
+                if robots_lookup is not None
+                else F.lit(False)
+            ).alias("robots_unreachable"),
         )
         if robots_lookup is not None:
-            enriched = enriched.drop("prefixes", "rules")
+            enriched = enriched.drop("prefixes", "rules", "unreachable")
         fetched_raw = self.fetcher.fetch(enriched, epoch=time.time())
         if "image_id" not in fetched_raw.columns:
             fetched_raw = fetched_raw.withColumn("image_id", F.lit(None).cast("string"))
@@ -935,6 +969,15 @@ class DrainLoop:
             # blacklist drop FIRST (ReadFromQueue runs before CrawlURL):
             # acked away — no fetch, no dead record, no seen write
             F.when(F.col("blacklisted"), "blacklist_drop")
+            # blocked only by an unreachable-robots ASSUMED disallow-all:
+            # requeue for the robots retry window instead of acking away —
+            # RFC 9309 §2.3.1.4 requires the disallow only WHILE unreachable,
+            # and a transient 5xx on first contact must not silently discard
+            # the host's whole claimed frontier (never fetched either way)
+            .when(
+                F.col("robots_blocked") & F.col("robots_unreachable"),
+                "requeue_robots",
+            )
             .when(F.col("robots_blocked"), "robots_drop")
             .when(F.col("crawl_count") > cfg.max_crawl_retries, "gate_dead")
             .when(F.col("status").isNull(), "not_found")
@@ -1260,15 +1303,17 @@ class DrainLoop:
                 pb = fb // self.frontier_host_buckets
                 delete_fb.add(fb)
                 claimed_pb[pb] = claimed_pb.get(pb, 0) + n
-                if route in ("requeue_429", "requeue_5xx"):
+                if route in ("requeue_429", "requeue_5xx", "requeue_robots"):
                     # a requeue keeps its priority and host → same frontier
                     # bucket
                     requeued_pb[pb] = requeued_pb.get(pb, 0) + n
             elif gid == GID_R_SB and route in ("requeue_5xx", "reset"):
                 claim_delta_sb.add(int(r["sb"]))
         stats.claimed = sum(route_counts.values())
-        stats.requeued = route_counts.get("requeue_429", 0) + route_counts.get(
-            "requeue_5xx", 0
+        stats.requeued = (
+            route_counts.get("requeue_429", 0)
+            + route_counts.get("requeue_5xx", 0)
+            + route_counts.get("requeue_robots", 0)
         )
         stats.dead = route_counts.get("gate_dead", 0) + route_counts.get("not_found", 0)
         stats.fetched = route_counts.get("fetch_html", 0) + route_counts.get(
@@ -1354,7 +1399,7 @@ class DrainLoop:
         ).unionByName(extract_dead)
 
         requeues = routed.where(
-            F.col("route").isin("requeue_429", "requeue_5xx")
+            F.col("route").isin("requeue_429", "requeue_5xx", "requeue_robots")
         ).select(
             "url",
             "url_canon",
@@ -1364,6 +1409,12 @@ class DrainLoop:
             "priority_bucket",
             (F.col("attempt_count") + 1).cast("int").alias("attempt_count"),
             F.when(F.col("route") == "requeue_429", F.lit(b + self.backoff_batches))
+            # robots-unreachable blocks sleep until the robots refetch
+            # window lapses — claiming earlier would just requeue again
+            .when(
+                F.col("route") == "requeue_robots",
+                F.lit(b + self.robots_retry_batches),
+            )
             .otherwise(F.lit(b + 1))
             .cast("long")
             .alias("not_before_batch"),

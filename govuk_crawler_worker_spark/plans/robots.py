@@ -62,14 +62,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 RULES_TYPE = "array<struct<rx:string,n:int,allow:boolean>>"
-ROBOTS_SCHEMA = (
+_ROBOTS_BASE = (
     "host string, scheme string, prefixes array<string>, "
     f"rules {RULES_TYPE}, crawl_delay double, sitemaps array<string>, "
     "fetched_batch long"
 )
-#: fetch output = table schema + the HTTP status (consumed by the pipeline's
-#: unreachable-robots composition, then dropped before commit)
-ROBOTS_FETCH_SCHEMA = ROBOTS_SCHEMA + ", fstatus int"
+#: stored table schema; ``unreachable`` marks a host whose verdict is the
+#: ASSUMED complete disallow of an unreachable first contact (no real rules
+#: behind it) — the pipeline requeues its blocked claims for a retry instead
+#: of dropping them, and re-fetches after a short window (ttl/8) instead of
+#: the full TTL (RFC 9309 §2.3.1.4 requires the disallow only WHILE
+#: unreachable).  Pre-r7 rows read as NULL → treated as ordinary rules.
+ROBOTS_SCHEMA = _ROBOTS_BASE + ", unreachable boolean"
+#: fetch output = base columns + the HTTP status (the unreachable-robots
+#: composition in the pipeline derives ``unreachable`` from it)
+ROBOTS_FETCH_SCHEMA = _ROBOTS_BASE + ", fstatus int"
 
 def _winning_groups(
     text: str, agent: str
@@ -195,9 +202,14 @@ def fetch_sitemap_locs_delta(
     """(sm_url) rows → (sm_url, loc, is_xml) rows: one GET per sitemap URL
     inside mapInPandas (executors fetch, one row per ``<loc>`` entry;
     ``is_xml`` marks nested sitemap-index entries for the caller's bounded
-    second pass).  Failed or non-2xx sitemaps yield no rows — a sitemap is
-    discovery surface, never correctness surface.  The caller MUST eagerly
-    checkpoint the result (side-effecting GETs, the page-fetch rule)."""
+    second pass).  Gzip bodies (the sitemaps.org compressed format — the
+    dominant real-world deployment, usually ``sitemap.xml.gz``) are
+    decompressed before ``<loc>`` extraction, sniffed by the 1f 8b magic so
+    a mislabelled URL can't defeat it.  Failed or non-2xx sitemaps yield no
+    rows — a sitemap is discovery surface, never correctness surface.  The
+    caller MUST eagerly checkpoint the result (side-effecting GETs, the
+    page-fetch rule)."""
+    import gzip
     import pandas as pd
     from urllib.parse import urlsplit
 
@@ -211,6 +223,8 @@ def fetch_sitemap_locs_delta(
                         r.sm_url, headers_for(host), timeout_s
                     )
                     if 200 <= status < 300 and body:
+                        if body[:2] == b"\x1f\x8b":
+                            body = gzip.decompress(body)
                         for loc in parse_sitemap_locs(
                             body.decode("utf-8", "replace")
                         ):

@@ -460,10 +460,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp = next(c for c in comps if c["id"] == cid)
                 scan_comps.append({**comp, "td": tdta >> 4, "ta": tdta & 0x0F})
             scan_pos = pos + 2 + seg_len
-            break  # baseline: single scan
+            break  # single interleaved scan (all SOF components covered)
         pos += 2 + seg_len
     if scan_pos < 0 or not comps:
         raise ValueError("no SOS/SOF found")
+    if len(scan_comps) < len(comps):
+        # A legal baseline stream may carry several non-interleaved scans
+        # (one component each); this decoder handles only the ubiquitous
+        # single interleaved scan — fail LOUD (like SOF2/arithmetic above)
+        # instead of returning the uncovered components as silent zeros.
+        raise NotImplementedError(
+            "multi-scan (non-interleaved) baseline JPEG not supported: "
+            f"first SOS covers {len(scan_comps)} of {len(comps)} components"
+        )
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

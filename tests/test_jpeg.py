@@ -201,6 +201,32 @@ class TestGeneralBaselineDecoder:
             assert np.array_equal(quad[..., 0], quad[..., 2])
 
 
+class TestMultiScanRejected:
+    def test_non_interleaved_multi_scan_raises_loud(self):
+        """A legal baseline stream may carry several non-interleaved scans
+        (one component per SOS); this decoder handles only the single
+        interleaved scan and must fail LOUD like the SOF2/arithmetic
+        rejections — not return the uncovered components as silent zeros
+        (r6 ADVICE).  The raise happens at header parse, before any entropy
+        decode, so a minimal headers-only stream pins it."""
+        import pytest
+
+        def seg(marker, body):
+            return struct.pack(">HH", marker, len(body) + 2) + body
+
+        b = struct.pack(">H", 0xFFD8)
+        b += seg(0xFFDB, bytes([0x00]) + bytes([16] * 64))
+        sof = struct.pack(">BHHB", 8, 16, 16, 3)
+        for cid in (1, 2, 3):
+            sof += struct.pack(">BBB", cid, 0x11, 0)
+        b += seg(0xFFC0, sof)
+        # first SOS covers ONLY component 1 of the 3 the SOF declared
+        b += seg(0xFFDA, struct.pack(">B", 1) + struct.pack(">BB", 1, 0x00) + b"\x00\x3f\x00")
+        b += struct.pack(">H", 0xFFD9)
+        with pytest.raises(NotImplementedError, match="1 of 3"):
+            decode_jpeg(b)
+
+
 class TestLegacyAndDispatch:
     def test_payload_bytes_are_real_jpeg(self):
         px = img.make_pixels(np.random.default_rng(9), 12, 12)

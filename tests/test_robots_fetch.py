@@ -549,6 +549,90 @@ class TestSitemapDrain:
         assert list(row["sitemaps"]) == [f"https://{host}/sitemap.xml"]
 
 
+class TestGzipSitemapDrain:
+    def test_gzipped_sitemap_chain_reaches_orphan(self, spark):
+        """sitemaps.org's compressed format (the dominant real deployment):
+        a gzipped sitemapindex chaining to a gzipped child sitemap must
+        still surface its orphan <loc> pages — r6 silently decoded the gzip
+        bytes as UTF-8 and got zero URLs (r6 VERDICT 'what's wrong #2')."""
+        import gzip
+
+        host = "www.gov.uk"
+        html = "text/html; charset=utf-8"
+        gz = "application/gzip"
+        index_xml = (
+            f"<sitemapindex><sitemap><loc>https://{host}/sitemap-0.xml.gz</loc>"
+            f"</sitemap></sitemapindex>"
+        ).encode()
+        child_xml = (
+            f"<urlset><url><loc>https://{host}/orphan-gz</loc></url></urlset>"
+        ).encode()
+        pages = {
+            f"/{host}/": (200, html, b"<p>no links</p>"),
+            f"/{host}/orphan-gz": (200, html, b"<p>found via gz sitemap</p>"),
+            f"/{host}/robots.txt": (
+                200,
+                "text/plain",
+                f"User-agent: *\nSitemap: https://{host}/sitemap.xml.gz\n".encode(),
+            ),
+            f"/{host}/sitemap.xml.gz": (200, gz, gzip.compress(index_xml)),
+            f"/{host}/sitemap-0.xml.gz": (200, gz, gzip.compress(child_xml)),
+        }
+        cfg = CrawlConfig(root_urls=(f"https://{host}/",))
+        catalog, counts = _run_drain(spark, pages, cfg, max_batches=12)
+        fetched = {r["url"] for r in catalog.read("fetched").collect()}
+        assert f"https://{host}/orphan-gz" in fetched
+        # each gzipped sitemap document GET'd exactly once per robots TTL
+        assert counts[f"/{host}/sitemap.xml.gz"] == 1
+        assert counts[f"/{host}/sitemap-0.xml.gz"] == 1
+
+
+class TestRobotsUnreachableRetry:
+    def test_transient_5xx_first_contact_recovers(self, spark):
+        """A 503 robots.txt on FIRST contact assumes complete disallow (the
+        polite direction) but must not discard the host forever: the claimed
+        URLs are requeued — never GET'd in the interim — and the robots
+        refetch happens after ttl/8 batches, not a full TTL (r6 ADVICE).
+        Here the 503 clears on the second hit and the whole site is then
+        crawled within the same short drain."""
+        host = "www.gov.uk"
+        html = "text/html; charset=utf-8"
+
+        def robots(hit_count):
+            if hit_count == 1:
+                return (503, "text/plain", b"")
+            return (200, "text/plain", b"User-agent: *\nDisallow: /private\n")
+
+        pages = {
+            f"/{host}/": (200, html, b'<a href="/a">a</a><a href="/private/x">p</a>'),
+            f"/{host}/a": (200, html, b"<p>ok</p>"),
+            f"/{host}/private/x": (200, html, b"<p>secret</p>"),
+            f"/{host}/robots.txt": robots,
+        }
+        # ttl = 16 batches → retry window = 16 // 8 = 2 batches; without the
+        # retry stamp + requeue the drain below would fetch NOTHING (root
+        # dropped at batch 0, refetch only at batch 16 ≫ max_batches)
+        cfg = CrawlConfig(root_urls=(f"https://{host}/",), robots_ttl_s=480.0)
+        catalog, counts = _run_drain(spark, pages, cfg, max_batches=10)
+        fetched = {r["url"] for r in catalog.read("fetched").collect()}
+        assert f"https://{host}/" in fetched
+        assert f"https://{host}/a" in fetched
+        # the real rules (fetched on retry) still enforce
+        assert f"https://{host}/private/x" not in fetched
+        assert counts[f"/{host}/private/x"] == 0
+        # nothing was GET'd during the disallow-all window, and the refetch
+        # happened on the retry schedule (exactly 2 robots GETs: 503 + 200)
+        assert counts[f"/{host}/robots.txt"] == 2
+        rules = {
+            r["host"]: [(s["rx"], s["allow"]) for s in (r["rules"] or [])]
+            for r in catalog.read("robots").collect()
+        }
+        assert rules == {host: [("^/private", False)]}
+        # the recovered row is no longer marked unreachable
+        row = catalog.read("robots").collect()[0]
+        assert not row["unreachable"]
+
+
 class TestCrawlDelayBudgetArithmetic:
     def test_accumulated_fairness_sums_and_zero_batches(self, spark):
         """Σ over N batches == floor(N·P/d) exactly (no drift, no
