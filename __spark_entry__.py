@@ -26,11 +26,13 @@ driver-checked completeness proof for the simhash Manku banding (pigeonhole
 ⇒ zero missed pairs vs the exhaustive hamming self-join); and analytic
 truth-table oracles for the audio/image features (REAL RIFF/WAVE PCM + PNG
 codecs; sine clips and solid/gradient images with closed-form features).
-The 2 rows-only entries (IVF ANN top-k — candidates depend on float k-means
-centroids no external engine reproduces bit-for-bit — and image features
-over world payloads) are genuinely quantizer-dependent or
-non-SQL-expressible; each carries a pytest — and for IVF a value-checked
-recall-floor query here — pinning its semantics.
+The single rows-only entry (IVF ANN top-k — candidates depend on float
+k-means centroids no external engine reproduces bit-for-bit) is genuinely
+quantizer-dependent BY DESIGN; it carries a pytest plus THREE value-checked
+companions here (exhaustive-covering, fixed-quantizer pruned replay, and a
+recall floor) pinning its semantics.  Image features over world payloads
+gained a full value oracle in r7: the deterministic codecs make the
+expected features a driver-computable VALUES literal.
 """
 
 from __future__ import annotations
@@ -616,7 +618,8 @@ def _curate_corpus(spark, sf):
 
 def _image_features(spark, sf):
     # multimodal plumbing over a deterministic generated payload (the driver
-    # tables carry no binary column); rows-only check by design
+    # tables carry no binary column); FULL value oracle since r7 — see
+    # _image_features_oracle_sql
     from govuk_crawler_worker_spark.operators.multimodal import image_features
     from govuk_crawler_worker_spark.sources.world import build_world
     from govuk_crawler_worker_spark.plans.schemas import PAYLOAD_SCHEMA
@@ -624,6 +627,46 @@ def _image_features(spark, sf):
     world = build_world(n_pages=24, seed=42)
     payload = spark.createDataFrame(world.payload, schema=PAYLOAD_SCHEMA)
     return image_features(payload).orderBy("image_id")
+
+
+def _image_features_oracle_sql() -> str:
+    """Full value oracle for ``image_features`` (r6 VERDICT next-round #2):
+    the world generator and BOTH codecs (PNG, and since r6 the byte-exact
+    pure-numpy T.81 JPEG encoder) are deterministic, so the expected
+    features of the seed-42 world can be recomputed on the driver — inline
+    numpy channel means/brightness over the decoded pixels, NOT the
+    operator's code path — and stated to DuckDB as a VALUES literal.  The
+    comparison then proves the DISTRIBUTED path (Arrow-batched mapInPandas
+    decode across executor Python workers, mixed PNG/JPEG, varied sizes)
+    reproduces the driver-reference values bit-exactly; the feature MATH
+    itself is independently pinned by the closed-form
+    ``image_features_sanity`` truth table."""
+    import numpy as np
+
+    from govuk_crawler_worker_spark.sources import images as img
+    from govuk_crawler_worker_spark.sources.world import build_world
+
+    world = build_world(n_pages=24, seed=42)
+    vals = []
+    for r in world.payload.itertuples(index=False):
+        px = img.decode_image(bytes(r.bytes), r.fmt).astype(np.float64)
+        mr, mg, mb = (round(float(m), 4) for m in px.mean(axis=(0, 1)))
+        br = round(float(px.mean()), 4)
+        ph = img.phash64(px.astype(np.uint8))
+        vals.append(
+            f"('{r.image_id}', {int(r.w)}, {int(r.h)}, '{r.fmt}', "
+            f"{mr!r}, {mg!r}, {mb!r}, {br!r}, {ph})"
+        )
+    return (
+        # DOUBLE casts: DuckDB types bare decimal literals as DECIMAL, whose
+        # string form keeps trailing zeros and defeats the %.6g float compare
+        "SELECT image_id, w, h, fmt, CAST(mean_r AS DOUBLE) AS mean_r, "
+        "CAST(mean_g AS DOUBLE) AS mean_g, CAST(mean_b AS DOUBLE) AS mean_b, "
+        "CAST(brightness AS DOUBLE) AS brightness, phash FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, w, h, fmt, mean_r, mean_g, mean_b, brightness, phash)"
+        + " ORDER BY image_id"
+    )
 
 
 def _audio_features_sanity(spark, sf):
@@ -1273,6 +1316,10 @@ def oracle_sql() -> dict[str, str]:
                    true AS rms_ok, true AS zcr_ok, true AS duration_ok
             FROM range(8) t(r) ORDER BY clip_id
         """,
+        # deterministic world + deterministic codecs ⇒ expected features are
+        # recomputable on the driver and stated as a literal (r7; the helper
+        # decodes with the shared codec but computes the features inline)
+        "image_features": _image_features_oracle_sql(),
         "image_features_sanity": """
             SELECT 'img-' || CAST(r AS VARCHAR) AS image_id,
                    true AS mean_r_ok, true AS mean_g_ok,
