@@ -257,3 +257,87 @@ class TestStreamingSessionWindows:
             assert (1, 3, 0, 22) in got, got
         finally:
             q.stop()
+
+
+class TestStreamingRobotsParity:
+    """StreamingDrain shares ``loop.run_batch`` with the batch drain, so the
+    r6 politeness surface (live robots rules, Crawl-delay budgets, sitemap
+    ingestion) is inherited — but nothing pinned that until now: a future
+    fork of the streaming tick path must not silently drop politeness."""
+
+    def test_live_robots_delay_and_sitemap_in_streaming_mode(self, spark):
+        from govuk_crawler_worker_spark.config import CrawlConfig
+        from govuk_crawler_worker_spark.plans.fetch import HttpFetcher
+        from test_robots_fetch import _proxy_opener, _serve
+        from collections import defaultdict
+
+        host = "www.gov.uk"
+        html = "text/html; charset=utf-8"
+        robots = (
+            "User-agent: *\n"
+            "Disallow: /private\n"
+            "Crawl-delay: 45\n"
+            f"Sitemap: https://{host}/sitemap.xml\n"
+        ).encode()
+        sitemap = (
+            f"<urlset><url><loc>https://{host}/orphan</loc></url></urlset>"
+        ).encode()
+        pages = {
+            f"/{host}/": (
+                200,
+                html,
+                b'<a href="/a">a</a><a href="/private/x">p</a>',
+            ),
+            f"/{host}/a": (200, html, b"<p>ok</p>"),
+            f"/{host}/private/x": (200, html, b"<p>secret</p>"),
+            f"/{host}/orphan": (200, html, b"<p>only in sitemap</p>"),
+            f"/{host}/robots.txt": (200, "text/plain", robots),
+            f"/{host}/sitemap.xml": (200, "application/xml", sitemap),
+        }
+        counts = defaultdict(int)
+        srv, base = _serve(pages, counts)
+        try:
+            cfg = CrawlConfig(root_urls=(f"https://{host}/",))
+            catalog = Catalog(spark, tempfile.mkdtemp(prefix="srobots_"))
+            loop = DrainLoop(
+                spark,
+                catalog,
+                cfg,
+                fetcher=HttpFetcher(cfg, opener=_proxy_opener(base)),
+                fetch_robots=True,
+            )
+            loop.seed(
+                spark.createDataFrame(
+                    [(u, 0) for u in cfg.root_urls], "url string, priority int"
+                )
+            )
+            sd = StreamingDrain(loop, ticks_per_second=5.0)
+            query = sd.start(spark)
+            try:
+                sd.process_available(timeout_s=300.0)
+            finally:
+                sd.stop()
+                query.awaitTermination(10)
+        finally:
+            srv.shutdown()
+
+        fetched = [
+            (r["batch_id"], r["url"]) for r in catalog.read("fetched").collect()
+        ]
+        # sitemap-only orphan reached; disallowed path never fetched NOR GET'd
+        assert {u for _b, u in fetched} == {
+            f"https://{host}/",
+            f"https://{host}/a",
+            f"https://{host}/orphan",
+        }
+        assert counts[f"/{host}/private/x"] == 0
+        # robots + sitemap each GET'd exactly once per TTL, in streaming too
+        assert counts[f"/{host}/robots.txt"] == 1
+        assert counts[f"/{host}/sitemap.xml"] == 1
+        # Crawl-delay 45 over the 30 s period throttles every tick after the
+        # rules landed to ≤ 1 page GET (the accumulated-fairness budget)
+        per_batch: dict[int, int] = {}
+        for b, _u in fetched:
+            per_batch[b] = per_batch.get(b, 0) + 1
+        first = min(per_batch)
+        assert all(n <= 1 for b, n in per_batch.items() if b > first)
