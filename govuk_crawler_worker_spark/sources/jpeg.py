@@ -309,56 +309,72 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 # -- decoder --------------------------------------------------------------------
 
 
-class _BitReader:
-    """Entropy-segment bit reader with 0xFF00 unstuffing and RSTn handling."""
+def _entropy_segments(data: bytes, pos: int) -> list:
+    """Unstuffed entropy bytes from ``pos``, split at RSTn boundaries (each
+    restart interval is independently decodable, T.81 F.2.1.3.1); stops at
+    any other marker.  Vectorized: only the (rare) 0xFF positions are walked
+    in Python — returns a list of np.uint8 arrays."""
+    a = np.frombuffer(data, dtype=np.uint8)
+    segs: list = []
+    pieces: list = []
 
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
+    def flush() -> None:
+        segs.append(
+            np.concatenate(pieces) if len(pieces) != 1 else pieces[0]
+        )
+        pieces.clear()
 
-    def _fill(self) -> None:
-        d = self.data
-        while self.nbits <= 24:
-            byte = 0  # past-the-end / at-a-marker: zero padding — the MCU
-            if self.pos < len(d):  # loop consumes only what the scan defines
-                byte = d[self.pos]
-                if byte == 0xFF:
-                    nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-                    if nxt == 0x00:
-                        self.pos += 2  # stuffed 0xFF data byte
-                    else:
-                        byte = 0  # real marker: do NOT consume (restart()
-                        # or the caller's segment walk handles it)
-                else:
-                    self.pos += 1
-            self.acc = (self.acc << 8) | byte
-            self.nbits += 8
+    start = pos
+    for f in (np.flatnonzero(a[pos:] == 0xFF) + pos).tolist():
+        if f < start:  # already consumed as stuffing / marker tail
+            continue
+        nxt = data[f + 1] if f + 1 < len(data) else 0xD9
+        if nxt == 0x00:
+            pieces.append(a[start : f + 1])  # keep the 0xFF, drop the 0x00
+            start = f + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            pieces.append(a[start:f])
+            flush()
+            start = f + 2
+        else:  # real marker (EOI/next segment): the scan ends here
+            pieces.append(a[start:f])
+            flush()
+            return segs
+    pieces.append(a[start:])
+    flush()
+    return segs
 
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
 
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+def _u32_words(seg: "np.ndarray") -> list:
+    """Big-endian 32-bit window at every byte offset (+2 zero-padded words):
+    one list index + shifts replaces per-bit reads.  Python ints via tolist()
+    — scalar numpy indexing in the symbol loop would be slower."""
+    b = np.concatenate([seg, np.zeros(16, np.uint8)]).astype(np.uint32)
+    return ((b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]).tolist()
 
-    def restart(self) -> None:
-        """Byte-align and consume an RSTn marker (T.81 F.2.1.3.1)."""
-        self.acc = 0
-        self.nbits = 0
-        d = self.data
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
-        raise EOFError("expected restart marker")
+
+_LUT_CACHE: dict = {}
+
+
+def _huff_lut(table: dict) -> tuple[list, list]:
+    """Canonical (length, code)→symbol dict → 65536-entry (length, symbol)
+    lists: any baseline code (≤16 bits) resolves with ONE 16-bit peek.
+    Memoized by table content — corpus images overwhelmingly share the
+    standard Annex-K tables, and the build dominates small-image decodes."""
+    key = tuple(sorted(table.items()))
+    hit = _LUT_CACHE.get(key)
+    if hit is None:
+        ln = np.zeros(65536, dtype=np.uint8)
+        sym = np.zeros(65536, dtype=np.uint8)
+        for (length, code), s in table.items():
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            ln[base : base + span] = length
+            sym[base : base + span] = s
+        if len(_LUT_CACHE) >= 64:  # worker-lifetime bound
+            _LUT_CACHE.clear()
+        _LUT_CACHE[key] = hit = (ln.tolist(), sym.tolist())
+    return hit
 
 
 def _decode_tables(bits, vals) -> dict[tuple[int, int], int]:
@@ -373,23 +389,6 @@ def _decode_tables(bits, vals) -> dict[tuple[int, int], int]:
             k += 1
         code <<= 1
     return table
-
-
-def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
-
-
-def _extend(amp: int, size: int) -> int:
-    """T.81 F.2.2.1 EXTEND: undo one's-complement negative coding."""
-    if size == 0:
-        return 0
-    return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -478,34 +477,81 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-        for c in comps
-    }
-    br = _BitReader(data, scan_pos)
-    preds = {c["id"]: 0 for c in scan_comps}
     idct = _M.T
+
+    # ---- entropy decode: LUT symbol resolution over unstuffed segments ----
+    # One 16-bit window peek resolves a whole Huffman code (vs 1 dict probe
+    # PER BIT before — the r6 per-block hot loop); coefficients land in flat
+    # Python lists and ALL numeric work (DC cumsum, de-zigzag, dequant,
+    # IDCT, block placement) happens afterwards as batched numpy.
+    luts = {key: _huff_lut(tab) for key, tab in huff.items()}
+    segs = _entropy_segments(data, scan_pos)
+    state: dict[int, dict] = {}
+    for c in scan_comps:
+        state[c["id"]] = {
+            "dc": [],  # per-block DC diffs in decode order
+            "bl": [],  # AC scatter triplets (block, zigzag-k, value)
+            "kl": [],
+            "vl": [],
+            "seg_starts": [0],  # dc index where each restart segment begins
+        }
+    u32 = _u32_words(segs[0])
+    seg_i = 0
+    bp = 0
     mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.restart()
-                preds = {c["id"]: 0 for c in scan_comps}
-            mcu_count += 1
-            for c in scan_comps:
-                dc_tab = huff[(0, c["td"])]
-                ac_tab = huff[(1, c["ta"])]
-                qt = qts[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = _read_symbol(br, dc_tab)
-                        diff = _extend(br.bits(size), size)
-                        preds[c["id"]] += diff
-                        zz[0] = preds[c["id"]]
+    try:
+        for _my in range(mcuy):
+            for _mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    seg_i += 1
+                    if seg_i >= len(segs):
+                        raise EOFError("expected restart marker")
+                    u32 = _u32_words(segs[seg_i])
+                    bp = 0
+                    for st in state.values():
+                        st["seg_starts"].append(len(st["dc"]))
+                mcu_count += 1
+                for c in scan_comps:
+                    st = state[c["id"]]
+                    dlen, dsym = luts[(0, c["td"])]
+                    alen, asym = luts[(1, c["ta"])]
+                    dc, bl, kl, vl = st["dc"], st["bl"], st["kl"], st["vl"]
+                    for _blk in range(c["v"] * c["h"]):
+                        word = u32[bp >> 3]
+                        code = (word >> (16 - (bp & 7))) & 0xFFFF
+                        length = dlen[code]
+                        if length == 0:
+                            raise ValueError("invalid Huffman code")
+                        size = dsym[code]
+                        bp += length
+                        if size:
+                            word = u32[bp >> 3]
+                            amp = (word >> (32 - (bp & 7) - size)) & (
+                                (1 << size) - 1
+                            )
+                            bp += size
+                            # T.81 F.2.2.1 EXTEND, inlined
+                            dc.append(
+                                amp
+                                if amp >= (1 << (size - 1))
+                                else amp - (1 << size) + 1
+                            )
+                        else:
+                            dc.append(0)
+                        bi = len(dc) - 1
                         k = 1
                         while k < 64:
-                            rs = _read_symbol(br, ac_tab)
+                            word = u32[bp >> 3]
+                            code = (word >> (16 - (bp & 7))) & 0xFFFF
+                            length = alen[code]
+                            if length == 0:
+                                raise ValueError("invalid Huffman code")
+                            rs = asym[code]
+                            bp += length
                             if rs == 0x00:  # EOB
                                 break
                             if rs == 0xF0:  # ZRL
@@ -515,15 +561,58 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                             size = rs & 0x0F
                             if k > 63:
                                 raise ValueError("AC index overflow")
-                            zz[k] = _extend(br.bits(size), size)
+                            word = u32[bp >> 3]
+                            amp = (word >> (32 - (bp & 7) - size)) & (
+                                (1 << size) - 1
+                            )
+                            bp += size
+                            bl.append(bi)
+                            kl.append(k)
+                            vl.append(
+                                amp
+                                if amp >= (1 << (size - 1))
+                                else amp - (1 << size) + 1
+                            )
                             k += 1
-                        flat = np.zeros(64, dtype=np.float64)
-                        flat[ZIGZAG] = zz  # de-zigzag → raster order
-                        block = (flat * qt.astype(np.float64)).reshape(8, 8)
-                        pix = idct @ block @ _M + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix
+    except IndexError:
+        raise ValueError("truncated JPEG scan") from None
+
+    # ---- batched assembly: everything below is whole-array numpy ----------
+    planes: dict[int, np.ndarray] = {}
+    for c in comps:
+        st = state[c["id"]]
+        cv, ch = c["v"], c["h"]
+        n = len(st["dc"])
+        dc = np.asarray(st["dc"], dtype=np.int64)
+        starts = st["seg_starts"] + [n]
+        for s0, s1 in zip(starts, starts[1:]):
+            # DC prediction resets at every restart boundary
+            dc[s0:s1] = np.cumsum(dc[s0:s1])
+        zz = np.zeros((n, 64), dtype=np.float64)
+        zz[:, 0] = dc
+        if st["bl"]:
+            zz[np.asarray(st["bl"]), np.asarray(st["kl"])] = np.asarray(
+                st["vl"], dtype=np.float64
+            )
+        raster = np.zeros_like(zz)
+        raster[:, ZIGZAG] = zz  # de-zigzag → raster order, all blocks at once
+        raster *= qts[c["tq"]].astype(np.float64)
+        pix = (
+            np.einsum("ij,bjk,kl->bil", idct, raster.reshape(n, 8, 8), _M)
+            + 128.0
+        )
+        # decode order is (my, mx, by, bx) — regenerate block coordinates
+        # vectorized instead of appending them in the hot loop
+        my_i = np.repeat(np.arange(mcuy), mcux * cv * ch)
+        mx_i = np.tile(np.repeat(np.arange(mcux), cv * ch), mcuy)
+        by_i = np.tile(np.repeat(np.arange(cv), ch), mcuy * mcux)
+        bx_i = np.tile(np.arange(ch), mcuy * mcux * cv)
+        rows_b, cols_b = mcuy * cv, mcux * ch
+        grid = np.zeros((rows_b, cols_b, 8, 8), dtype=np.float64)
+        grid[my_i * cv + by_i, mx_i * ch + bx_i] = pix
+        planes[c["id"]] = grid.transpose(0, 2, 1, 3).reshape(
+            rows_b * 8, cols_b * 8
+        )
 
     full = []
     for c in comps:
