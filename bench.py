@@ -458,6 +458,109 @@ def run_queries(spark) -> dict[str, float]:
     return out
 
 
+def _gen_scaling_docs(spark, n_docs: int, out_dir: str) -> None:
+    """Deterministic documents corpus for the dedup scaling curve, same
+    shape as testdata documents (doc_id, text, lang, source, n_chars).
+    Hash-derived rare words (200k vocab) so word DF stays below the stop
+    cap; of every 10 docs, members 7-9 are one-word variants of a shared
+    group base (pairwise word-jaccard ≈ 38/42 ≥ 0.8) → planted pair count
+    grows LINEARLY with corpus size, which is what makes the time-vs-size
+    curve interpretable."""
+    from pyspark.sql import functions as F
+
+    gid = F.floor(F.col("id") / 10)
+    m = F.pmod(F.col("id"), 10)
+
+    def word(key, p):
+        return F.concat(F.lit("w"), F.pmod(F.xxhash64(key, p), F.lit(200000)))
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda p: F.when((m >= 7) & (p != m.cast("int")), word(gid, p))
+        .when(m >= 7, word(F.col("id"), p))  # the single varied slot
+        .otherwise(word(F.col("id"), p)),
+    )
+    (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(words, " ").alias("text"),
+            F.element_at(
+                F.array(F.lit("en"), F.lit("fr"), F.lit("zh")),
+                (F.pmod(F.xxhash64("id"), F.lit(3)) + 1).cast("int"),
+            ).alias("lang"),
+            F.concat(F.lit("src"), F.pmod(F.col("id"), F.lit(5))).alias("source"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def dedup_scaling(scales=(1, 2, 4, 8), base_docs: int = 5000) -> dict:
+    """Corpus-size scaling curve for the dedup family (r6 VERDICT #4): run
+    minhash+LSH, word-jaccard and simhash banding at 1x/2x/4x/8x the sf0.1
+    corpus size and report time-vs-size.  The single-scan fused plans and
+    banded candidate generation claim near-linear growth — this measures it
+    instead of extrapolating.  Linearity ratio = t(8x) / (8 * t(1x)); 1.0 is
+    perfectly linear, AQE/fixed overheads push small corpora ABOVE their
+    share so ratios ≤ ~1.2 are linear in practice."""
+    import shutil
+    import tempfile
+
+    from govuk_crawler_worker_spark.operators.dedup import (
+        jaccard_word_pairs,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    spark = make_spark(16)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="dedup_scale_")
+    ops = {
+        # the driver-bench parameterizations, verbatim
+        "minhash_lsh": lambda df: minhash_lsh_pairs(
+            df, num_perm=32, bands=16, jaccard_threshold=0.5
+        ),
+        "jaccard_words": lambda df: jaccard_word_pairs(
+            df, threshold=0.8, max_word_df=1000
+        ),
+        "simhash": lambda df: simhash_pairs(df, max_hamming=3),
+    }
+    out: dict = {"base_docs": base_docs, "scales": {}}
+    try:
+        dirs = {}
+        for sc in scales:
+            d = os.path.join(root, f"x{sc}")
+            _gen_scaling_docs(spark, base_docs * sc, d)
+            dirs[sc] = d
+        # warmup at the smallest scale: python-worker spawn + codegen warm
+        for fn in ops.values():
+            fn(spark.read.parquet(dirs[scales[0]])).count()
+        for sc in scales:
+            df = spark.read.parquet(dirs[sc])
+            row = {"docs": base_docs * sc}
+            for name, fn in ops.items():
+                t0 = time.monotonic()
+                n_pairs = fn(df).count()
+                row[name] = round(time.monotonic() - t0, 3)
+                row[f"{name}_pairs"] = n_pairs
+            out["scales"][str(sc)] = row
+        lo, hi = str(scales[0]), str(scales[-1])
+        factor = scales[-1] / scales[0]
+        out["linearity"] = {
+            name: round(
+                out["scales"][hi][name] / (factor * out["scales"][lo][name]), 3
+            )
+            for name in ops
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+    return out
+
+
 def _prepare_bulk_world(pages: int) -> str:
     """Parent-side, ONCE: generate the synthetic web and persist as parquet
     so every scaling rep reads the identical input files."""
@@ -669,6 +772,8 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--bulk":
         _bulk_subprocess(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--dedup-scaling":
+        print(json.dumps({"dedup_scaling": dedup_scaling()}))
     elif len(sys.argv) > 1 and sys.argv[1] == "--soak":
         soak = soak_drain(int(sys.argv[2]))
         print(json.dumps({"soak": soak}))
