@@ -669,6 +669,86 @@ def _image_features_oracle_sql() -> str:
     )
 
 
+def _phash_corpus_rows() -> list:
+    """Deterministic 24-image corpus for the phash near-dup query: 12
+    block-pattern bases (random 8×8 pattern upscaled — mean-hash bits ≈ the
+    pattern, so unrelated images sit ≥22 bits apart), each with a lightly
+    brightness-nudged variant encoded in the OTHER format (PNG base ↔ JPEG
+    variant: the pairs prove recompression-robust image dedup, the actual
+    100 TB use case).  Variant hamming ≤1 bit, cross-base ≥22."""
+    import numpy as np
+
+    from govuk_crawler_worker_spark.sources import images as img
+
+    rows = []
+    for i in range(12):
+        r = np.random.default_rng(1000 + i)
+        side = 24 + (i % 5) * 8
+        pat = r.integers(0, 2, (8, 8)).astype(np.uint8)
+        rep = side // 8 + 1
+        up = np.kron(pat, np.ones((rep, rep), np.uint8))[:side, :side]
+        px = (60 + up.astype(np.int16) * 140) + r.integers(-8, 9, (side, side))
+        base = np.clip(np.stack([px] * 3, axis=-1), 0, 255).astype(np.uint8)
+        var = base.astype(np.int16).copy()
+        y, x = (i * 3) % (side - 6), (i * 5) % (side - 6)
+        var[y : y + 6, x : x + 6] += 10
+        var = np.clip(var, 0, 255).astype(np.uint8)
+        fmt_b = "png" if i % 2 == 0 else "jpeg"
+        fmt_v = "jpeg" if i % 2 == 0 else "png"
+        for tag, pix, fmt in (("base", base, fmt_b), ("var", var, fmt_v)):
+            data = img.encode_png(pix) if fmt == "png" else img.encode_lossy(pix)
+            rows.append(
+                {
+                    "image_id": f"img-{i:02d}-{tag}",
+                    "bytes": data,
+                    "w": side,
+                    "h": side,
+                    "fmt": fmt,
+                }
+            )
+    return rows
+
+
+def _image_phash_near_dups(spark, sf):
+    """Image near-duplicate pairs: distributed decode+phash (the
+    image_features mapInPandas stage) → Manku pigeonhole banding on the
+    64-bit phash → exact bit_count verify (operators/dedup.phash_near_dups).
+    The DuckDB oracle recomputes the phashes driver-side and finds pairs
+    with the EXHAUSTIVE O(n²) hamming join — independent pair-generation
+    logic value-checking the banded plan."""
+    import pandas as pd
+
+    from govuk_crawler_worker_spark.operators.dedup import phash_near_dups
+    from govuk_crawler_worker_spark.operators.multimodal import image_features
+
+    payload = spark.createDataFrame(
+        pd.DataFrame(_phash_corpus_rows()),
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    feats = image_features(payload)
+    return phash_near_dups(
+        feats.select("image_id", "phash"), max_hamming=5
+    ).orderBy("a", "b")
+
+
+def _image_phash_near_dups_oracle_sql() -> str:
+    from govuk_crawler_worker_spark.sources import images as img
+
+    vals = []
+    for r in _phash_corpus_rows():
+        ph = img.phash64(img.decode_image(r["bytes"], r["fmt"]))
+        vals.append(f"('{r['image_id']}', {ph})")
+    t = "(VALUES " + ", ".join(vals) + ")"
+    return f"""
+        SELECT l.image_id AS a, r.image_id AS b,
+               bit_count(xor(l.phash, r.phash)) AS hamming
+        FROM {t} AS l(image_id, phash)
+        JOIN {t} AS r(image_id, phash) ON l.image_id < r.image_id
+        WHERE bit_count(xor(l.phash, r.phash)) <= 5
+        ORDER BY a, b
+    """
+
+
 def _audio_features_sanity(spark, sf):
     """Audio member of the multimodal family — REAL RIFF/WAVE PCM codec
     (sources/audio.py), features via mapInPandas.  Value-checked property
@@ -779,6 +859,63 @@ def _image_features_sanity(spark, sf):
             )
             < eps
         ).alias("brightness_ok"),
+    ).orderBy("image_id")
+
+
+def _image_resize_sanity(spark, sf):
+    """Value oracle for the resize_images operator (r7): block-mean
+    downsampling a SOLID image by any factor keeps every channel mean
+    exactly (and a solid image round-trips both codecs exactly — flat
+    blocks quantize to their own DC), so halved dimensions + unchanged
+    means form a constant truth table DuckDB can state."""
+    import numpy as np
+    import pandas as pd
+
+    from govuk_crawler_worker_spark.operators.multimodal import (
+        image_features,
+        resize_images,
+    )
+    from govuk_crawler_worker_spark.sources.images import encode_lossy, encode_png
+
+    rows = []
+    for i in range(8):
+        w, h = 32 + 8 * (i % 4), 16 + 8 * (i % 3)
+        r, g, b = 15 * i + 8, 10 * i + 40, 25 * i + 2
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        px[..., 0], px[..., 1], px[..., 2] = r, g, b
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        rows.append(
+            {
+                "image_id": f"img-{i}",
+                "bytes": encode_png(px) if fmt == "png" else encode_lossy(px),
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "er": float(r),
+                "eg": float(g),
+                "eb": float(b),
+                "ew": w // 2,
+                "eh": h // 2,
+            }
+        )
+    imgs = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "er double, eg double, eb double, ew int, eh int",
+    )
+    feats = image_features(resize_images(imgs, factor=2)).join(
+        imgs.select("image_id", "er", "eg", "eb", "ew", "eh"), "image_id"
+    )
+    eps = 1e-3
+    return feats.select(
+        "image_id",
+        (F.col("w") == F.col("ew")).alias("w_ok"),
+        (F.col("h") == F.col("eh")).alias("h_ok"),
+        (
+            (F.abs(F.col("mean_r") - F.col("er")) < eps)
+            & (F.abs(F.col("mean_g") - F.col("eg")) < eps)
+            & (F.abs(F.col("mean_b") - F.col("eb")) < eps)
+        ).alias("means_ok"),
     ).orderBy("image_id")
 
 
@@ -917,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _sessionize,
         "curate_corpus": _curate_corpus,
         "image_features": _image_features,
+        "image_phash_near_dups": _image_phash_near_dups,
+        "image_resize_sanity": _image_resize_sanity,
         "audio_features_sanity": _audio_features_sanity,
         "image_features_sanity": _image_features_sanity,
         "audio_chunks_sanity": _audio_chunks_sanity,
@@ -1320,6 +1459,9 @@ def oracle_sql() -> dict[str, str]:
         # recomputable on the driver and stated as a literal (r7; the helper
         # decodes with the shared codec but computes the features inline)
         "image_features": _image_features_oracle_sql(),
+        # exhaustive O(n²) hamming join in SQL vs the banded Spark plan —
+        # independent pair-generation logic (r7)
+        "image_phash_near_dups": _image_phash_near_dups_oracle_sql(),
         "image_features_sanity": """
             SELECT 'img-' || CAST(r AS VARCHAR) AS image_id,
                    true AS mean_r_ok, true AS mean_g_ok,
@@ -1328,6 +1470,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'img-grad', true, true, true, true
             ORDER BY image_id
+        """,
+        "image_resize_sanity": """
+            SELECT 'img-' || CAST(r AS VARCHAR) AS image_id,
+                   true AS w_ok, true AS h_ok, true AS means_ok
+            FROM range(8) t(r) ORDER BY image_id
         """,
         "audio_chunks_sanity": """
             SELECT 'clip-' || CAST(r AS VARCHAR) AS clip_id,

@@ -721,6 +721,34 @@ def simhash_pairs(
     return out
 
 
+def phash_near_dups(
+    hashes: DataFrame,
+    max_hamming: int = 5,
+    n_blocks: int = 6,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """IMAGE near-duplicate pairs by perceptual-hash Hamming distance — the
+    image-corpus analogue of ``simhash_pairs`` (re-encoded crops/recompressed
+    copies keep nearly the same 64-bit phash).  Input is an (id, phash)
+    frame — compose with ``operators.multimodal.image_features`` for the
+    decode+phash stage — and the candidate generation REUSES the Manku
+    pigeonhole banding (``simhash_candidates``): ≤ h differing bits leave
+    ≥ B−h blocks equal, so the self-join is keyed by (combo, packed blocks)
+    and never goes corpus-quadratic; exact ``bit_count`` verify after.
+    Reference parity: none (the reference stores bodies verbatim); this is
+    training-data-pipeline surface for 100 TB image corpora."""
+    sig = hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(phash_col).alias("simhash")
+    )
+    cand = simhash_candidates(sig, max_hamming=max_hamming, n_blocks=n_blocks)
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -499,3 +499,36 @@ class TestDedupLifecycle:
         for _ in range(3):
             assert q(spark, "/root/testdata/sf0.001").count() == 1
         assert persistent_ids() - base == set()
+
+
+class TestPhashNearDups:
+    def test_cross_format_variants_found_exactly(self, spark):
+        """Image near-dup detection (r7): every planted PNG↔JPEG variant
+        pair is found (recompression-robust), NO cross-base pair sneaks in
+        (bases sit ≥22 phash bits apart by construction), and the pairs
+        come from the banded candidate plan — the distributed decode+phash
+        stage feeding Manku pigeonhole banding, not an all-pairs join."""
+        import pandas as pd
+
+        import __spark_entry__ as em
+        from govuk_crawler_worker_spark.operators.dedup import phash_near_dups
+        from govuk_crawler_worker_spark.operators.multimodal import (
+            image_features,
+        )
+
+        payload = spark.createDataFrame(
+            pd.DataFrame(em._phash_corpus_rows()),
+            "image_id string, bytes binary, w int, h int, fmt string",
+        )
+        feats = image_features(payload)
+        pairs = {
+            (r["a"], r["b"]): r["hamming"]
+            for r in phash_near_dups(
+                feats.select("image_id", "phash"), max_hamming=5
+            ).collect()
+        }
+        expected = {
+            (f"img-{i:02d}-base", f"img-{i:02d}-var") for i in range(12)
+        }
+        assert set(pairs) == expected
+        assert all(h <= 1 for h in pairs.values())  # tiny nudge ⇒ ≤1 bit
