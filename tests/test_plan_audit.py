@@ -91,6 +91,21 @@ class TestPairOperatorPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_phash_near_dups_banded_not_all_pairs(self, docs):
+        from pyspark.sql import functions as F
+
+        from govuk_crawler_worker_spark.operators.dedup import phash_near_dups
+
+        hashes = docs.select(
+            F.col("doc_id").cast("string").alias("image_id"),
+            F.xxhash64("text").alias("phash"),
+        )
+        plan = plan_of(phash_near_dups(hashes, max_hamming=5))
+        # same pigeonhole banding as simhash: keyed equi-join, never an
+        # all-pairs hamming scan over the image corpus
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_embedding_near_dups_blocked(self, emb):
         from govuk_crawler_worker_spark.operators.dedup import embedding_near_dups
 
