@@ -1014,6 +1014,93 @@ def _video_frame_index(spark, sf):
     return frame_sample(vids, every_n=2).select("video_id", "frame_idx", "w", "h")
 
 
+def _frame_dedup_videos() -> list:
+    """Deterministic MJPEG videos for frame-level dedup: each of 3 videos
+    holds a block-pattern scene for 3 lightly-jittered frames, then CUTS to
+    a second scene for 3 more — static-segment frames are near-dups
+    (phash ≤3 bits apart through the JPEG round-trip), scene cuts and other
+    videos sit ≥23 bits away."""
+    import numpy as np
+
+    from govuk_crawler_worker_spark.sources import images as img
+
+    def scene(seed, side=24):
+        r = np.random.default_rng(seed)
+        pat = r.integers(0, 2, (8, 8)).astype(np.uint8)
+        rep = side // 8 + 1
+        up = np.kron(pat, np.ones((rep, rep), np.uint8))[:side, :side]
+        px = 60 + up.astype(np.int16) * 140
+        return np.clip(np.stack([px] * 3, axis=-1), 0, 255).astype(np.uint8), r
+
+    rows = []
+    for vid in range(3):
+        frames = []
+        for sc_seed in (vid * 10 + 1, vid * 10 + 2):
+            base, r = scene(7000 + sc_seed)
+            for _f in range(3):
+                jit = base.astype(np.int16) + r.integers(-4, 5, base.shape)
+                frames.append(np.clip(jit, 0, 255).astype(np.uint8))
+        rows.append(
+            {
+                "video_id": f"v{vid}",
+                "bytes": img.encode_avi_mjpeg(frames, fps=10, quality=90),
+            }
+        )
+    return rows
+
+
+def _video_frame_near_dups(spark, sf):
+    """Frame-level video dedup (r7): the composition a 100 TB video corpus
+    pipeline runs to drop static segments — frame_sample explodes MJPEG-AVI
+    containers into PNG frame rows (distributed RIFF walk + JPEG decode),
+    image_features rehashes them, phash_near_dups finds near-identical
+    frames via the banded hamming plan.  The DuckDB oracle replays the
+    decode driver-side and takes the EXHAUSTIVE O(n²) hamming join —
+    independent pair-generation logic."""
+    import pandas as pd
+
+    from govuk_crawler_worker_spark.operators.dedup import phash_near_dups
+    from govuk_crawler_worker_spark.operators.multimodal import (
+        frame_sample,
+        image_features,
+    )
+
+    vids = spark.createDataFrame(
+        pd.DataFrame(_frame_dedup_videos()), "video_id string, bytes binary"
+    )
+    frames = frame_sample(vids, every_n=1).select(
+        F.concat_ws("-", "video_id", F.format_string("f%02d", "frame_idx")).alias(
+            "image_id"
+        ),
+        F.col("frame_bytes").alias("bytes"),
+        "w",
+        "h",
+        F.lit("png").alias("fmt"),
+    )
+    feats = image_features(frames)
+    return phash_near_dups(
+        feats.select("image_id", "phash"), max_hamming=5
+    ).orderBy("a", "b")
+
+
+def _video_frame_near_dups_oracle_sql() -> str:
+    from govuk_crawler_worker_spark.sources import images as img
+
+    vals = []
+    for r in _frame_dedup_videos():
+        for i, fr in enumerate(img.decode_video(r["bytes"])):
+            vals.append(f"('{r['video_id']}-f{i:02d}', {img.phash64(fr)})")
+    t = "(VALUES " + ", ".join(vals) + ")"
+    return f"""
+        SELECT l.image_id AS a, r.image_id AS b,
+               bit_count(xor(l.phash, r.phash)) AS hamming
+        FROM {t} AS l(image_id, phash)
+        JOIN {t} AS r(image_id, phash) ON l.image_id < r.image_id
+        WHERE bit_count(xor(l.phash, r.phash)) <= 5
+        ORDER BY a, b
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "claim_topk": _claim_topk,
@@ -1060,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_sanity": _image_features_sanity,
         "audio_chunks_sanity": _audio_chunks_sanity,
         "video_frame_index": _video_frame_index,
+        "video_frame_near_dups": _video_frame_near_dups,
         "scrub_pii": _scrub_pii,
     }
 
@@ -1530,6 +1618,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the AVI frame-count formula (n = 3 + vid%4, stride 2) restated:
         # sampled indices per video are range(0, n, 2) at constant 16×8
+        "video_frame_near_dups": _video_frame_near_dups_oracle_sql(),
         "video_frame_index": """
             SELECT 'v' || CAST(v AS VARCHAR) AS video_id,
                    CAST(i AS INT) AS frame_idx,
