@@ -241,3 +241,32 @@ class TestLegacyAndDispatch:
         legacy = b"QIM1" + st.pack(">IIB", 10, 6, 4) + zlib.compress(q.tobytes(), 6)
         assert np.array_equal(img.decode_lossy(legacy), q)
         assert img.psnr(px, img.decode_image(legacy, "jpeg")) >= 40.0
+
+
+class TestCodecProperty:
+    def test_roundtrip_property_random_sizes_and_qualities(self):
+        """Fuzz the r7 vectorized entropy coder pair: random dimensions
+        (incl. non-multiples of 8), contents and qualities must round-trip
+        — dimensions exact, PSNR sane for the quality, encode deterministic.
+        Guards the item-ordering/bit-packing refactors against edge shapes
+        (1-pixel edges, single-block, tall/thin)."""
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            w=st.integers(min_value=1, max_value=41),
+            h=st.integers(min_value=1, max_value=41),
+            q=st.sampled_from([50, 75, 90, 98]),
+            seed=st.integers(min_value=0, max_value=2**31),
+        )
+        def check(w, h, q, seed):
+            rng = np.random.default_rng(seed)
+            px = img.make_pixels(rng, w, h)
+            data = encode_jpeg(px, q)
+            assert data == encode_jpeg(px, q)  # deterministic
+            out = decode_jpeg(data)
+            assert out.shape == (h, w, 3)
+            # noisy content at q50 still lands well above garbage level
+            assert img.psnr(px, out) >= (40.0 if q >= 98 else 20.0)
+
+        check()

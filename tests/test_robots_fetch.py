@@ -695,3 +695,40 @@ class TestCrawlDelayDrain:
             for r in catalog.read("robots_delays").collect()
         }
         assert delays == {host: 45.0}
+
+
+class TestRobotsPersistentUnreachable:
+    def test_persistent_5xx_keeps_retrying_never_fetches(self, spark):
+        """While robots.txt stays 5xx the host must stay fully blocked (RFC
+        9309 §2.3.1.4 assumed disallow) but RETRYABLE: the refetch fires
+        every ttl/8 batches (not once per TTL, not every batch) and no page
+        is ever GET'd.  The claims keep requeueing rather than dying, so
+        when the server finally recovers AFTER several failed windows the
+        site is still crawled to completion."""
+        host = "www.gov.uk"
+        html = "text/html; charset=utf-8"
+
+        def robots(hit_count):
+            if hit_count <= 3:  # three full retry windows of 5xx
+                return (503, "text/plain", b"")
+            return (200, "text/plain", b"User-agent: *\nDisallow: /private\n")
+
+        pages = {
+            f"/{host}/": (200, html, b'<a href="/a">a</a><a href="/private/x">p</a>'),
+            f"/{host}/a": (200, html, b"<p>ok</p>"),
+            f"/{host}/private/x": (200, html, b"<p>secret</p>"),
+            f"/{host}/robots.txt": robots,
+        }
+        # ttl 16 batches → retry window 2: robots GETs at b≈0,2,4,6 (the
+        # 4th succeeds); pages crawl from ~b6; drain 14 batches covers it
+        cfg = CrawlConfig(root_urls=(f"https://{host}/",), robots_ttl_s=480.0)
+        catalog, counts = _run_drain(spark, pages, cfg, max_batches=14)
+        fetched = {r["url"] for r in catalog.read("fetched").collect()}
+        assert fetched == {f"https://{host}/", f"https://{host}/a"}
+        assert counts[f"/{host}/private/x"] == 0
+        # exactly 4 robots GETs: 3 failed windows + the recovering 200 —
+        # proves the ttl/8 schedule held across REPEATED unreachable rounds
+        assert counts[f"/{host}/robots.txt"] == 4
+        row = catalog.read("robots").collect()[0]
+        assert not row["unreachable"]
+        assert [(s["rx"], s["allow"]) for s in row["rules"]] == [("^/private", False)]
