@@ -207,6 +207,103 @@ def shingle_hashes(
     )
 
 
+def _splitmix_mix(z: "np.ndarray") -> "np.ndarray":
+    """splitmix64 finalizer over uint64 (Steele/Lea/Flood constants)."""
+    z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _shingle_sets_batch(texts, n: int) -> list:
+    """Per-doc DISTINCT shingle-hash sets for a batch of texts, fully
+    vectorized: tokenize (C-level str.split), hash every token with the
+    repo's Mersenne-61 polynomial over its codepoints (numpy column sweep
+    over the fixed-width unicode matrix, ≤ max-token-length passes), mix to
+    64 bits, combine each n-token window with a splitmix chain, and dedup
+    per doc via one lexsort.  No per-token Python."""
+    from govuk_crawler_worker_spark.operators.text import (
+        FP_BASE,
+        _fold61,
+        _mulmod61,
+    )
+
+    ndocs = len(texts)
+    tok_lists = [
+        t.split(" ") if isinstance(t, str) and t else [] for t in texts
+    ]
+    tok_counts = np.fromiter((len(t) for t in tok_lists), np.int64, ndocs)
+    all_toks = [w for toks in tok_lists for w in toks]
+    if not all_toks:
+        return [np.empty(0, dtype=np.int64)] * ndocs
+    arr = np.array(all_toks, dtype=np.str_)
+    width = arr.dtype.itemsize // 4
+    codes = arr.view(np.uint32).reshape(len(all_toks), width).astype(np.uint64)
+    base = np.uint64(FP_BASE)
+    h = np.zeros(len(all_toks), dtype=np.uint64)
+    for j in range(width):
+        cj = codes[:, j]
+        active = cj != 0  # NUL never occurs inside a token (U-dtype padding)
+        if not active.any():
+            break
+        nh = _fold61(_mulmod61(h, np.broadcast_to(base, h.shape)) + cj)
+        h = np.where(active, nh, h)
+    wh = _splitmix_mix(h)
+    # shingle windows: doc with t tokens yields max(0, t-n+1) shingles
+    sh_counts = np.maximum(tok_counts - (n - 1), 0)
+    starts = np.concatenate([[0], np.cumsum(tok_counts)[:-1]])
+    pos = np.repeat(starts, sh_counts) + _ranges(sh_counts)
+    # positional chain: the accumulator is re-mixed BEFORE each xor so the
+    # combine is order-sensitive at every step (a raw w0 ^ w1 first step
+    # would collide transposed leading words, e.g. "a fast ..." = "fast a
+    # ...")
+    acc = wh[pos]
+    for k in range(1, n):
+        acc = _splitmix_mix(acc) ^ wh[pos + k]
+    acc = _splitmix_mix(acc)
+    doc_idx = np.repeat(np.arange(ndocs), sh_counts)
+    order = np.lexsort((acc, doc_idx))
+    dv, di = acc[order], doc_idx[order]
+    keep = np.ones(len(dv), dtype=bool)
+    keep[1:] = (dv[1:] != dv[:-1]) | (di[1:] != di[:-1])
+    dv, di = dv[keep], di[keep]
+    counts = np.bincount(di, minlength=ndocs)
+    return np.split(dv.view(np.int64), np.cumsum(counts)[:-1])
+
+
+def _ranges(counts: "np.ndarray") -> "np.ndarray":
+    """[0..c0), [0..c1), ... concatenated — the intra-segment offsets."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    nz = counts > 0
+    out[starts[nz]] = np.concatenate([[0], 1 - counts[nz][:-1]])
+    return np.cumsum(out)
+
+
+def shingle_hash_sets_arrow(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, hs) — each doc's distinct shingle-hash set computed in ONE
+    Arrow pass straight from the text (r8): replaces the JVM higher-order
+    hash chain + explode + collect_list shuffle of the shingle_hashes →
+    shingle_hash_sets composition, whose interpreted per-element lambdas
+    dominated the minhash CPU profile (~50 CPU·s at sf1.0 vs ~5 for this
+    pass).  The hash family differs from the JVM path but any consistent
+    injective-in-practice 64-bit family yields the identical verified pair
+    set and jaccard values (per-pair collision odds ~1e-15; banding recall
+    at the data's jaccard floor is family-independent)."""
+
+    @F.pandas_udf("array<long>")
+    def sets(texts: pd.Series) -> pd.Series:
+        return pd.Series(_shingle_sets_batch(list(texts), n))
+
+    return docs.select(F.col(id_col).alias("doc_id"), sets(F.col(text_col)).alias("hs"))
+
+
 def minhash_signatures(sh: DataFrame, num_perm: int = 32) -> DataFrame:
     """num_perm MinHash values per doc in ONE aggregation pass: perm_j(s) =
     xxhash64(j || s) (JVM xxhash64, vectorized), signature_j = min over
@@ -316,20 +413,21 @@ def minhash_lsh_pairs(
     # per-doc set aggregation, the exact verify) operates on 8-byte longs
     # instead of ~25-byte strings.  A 64-bit collision inside the cap/verify
     # is ~1e-15 per pair — far below every other error source.
-    sh = shingle_hashes(fan_out(docs), n=n, text_col=text_col, id_col=id_col)
-    # ONE scan of the exploded shingle rows (r5 VERDICT: the df-cap aggregate
-    # and the set aggregate were two separate scans, each recomputing the
-    # split+hash+explode from parquet): group per doc FIRST — the only
-    # full-width shuffle — then derive the stop-shingle document frequencies
-    # by re-exploding the CACHED arrays (map-side partial count; the shuffle
+    # ONE Arrow pass from text straight to per-doc distinct shingle-hash
+    # sets (r8, see shingle_hash_sets_arrow) — no shingle explode, no
+    # collect_list shuffle, no interpreted JVM hash lambdas.  The df-cap
+    # aggregate then derives the stop-shingle document frequencies by
+    # exploding the CACHED arrays (map-side partial count; the shuffle
     # moves one row per distinct shingle per partition, not the corpus) and
-    # apply the cap with array_except against the broadcast hot set.  The
+    # applies the cap with array_except against the broadcast hot set.  The
     # cached form is the per-doc array (8 bytes/shingle, no per-row
     # overhead), spillable to disk at scale; the hot set is bounded by
     # construction (≤ total-shingle-instances / max_shingle_df rows — the
     # same smallness assumption the r5 broadcast anti-join made).
     grouped_all = (
-        sh.groupBy("doc_id").agg(F.collect_list("h").alias("hs0")).persist()
+        shingle_hash_sets_arrow(fan_out(docs), n=n, text_col=text_col, id_col=id_col)
+        .withColumnRenamed("hs", "hs0")
+        .persist()
     )
     hot = (
         grouped_all.select(F.explode("hs0").alias("h"))
