@@ -351,26 +351,39 @@ def band_keys_from_grouped(
     def keys_batch(hs_list) -> "np.ndarray":
         n = len(hs_list)
         out = np.zeros((n, bands), dtype=np.int64)
-        for c0 in range(0, n, chunk):
-            arrs = [np.asarray(a, dtype=np.int64) for a in hs_list[c0 : c0 + chunk]]
-            lens = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
-            nz = lens > 0
-            if not nz.any():
-                continue
-            cat = np.concatenate([a for a in arrs if len(a)]).astype(np.uint64)
-            perms = _splitmix_perms(cat, num_perm)  # (T, P)
-            starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
-            mins = np.minimum.reduceat(perms, starts, axis=0)  # (docs, P)
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs_list]
+        lens = np.fromiter((len(a) for a in arrs), np.int64, n)
+        nz = lens > 0
+        if not nz.any():
+            return out
+        # r8 kernel: hash each DISTINCT shingle once per batch and gather
+        # through the inverse index, one permutation COLUMN at a time —
+        # corpus shingles repeat heavily across docs, and the columnar
+        # sweep never materializes the (tokens × num_perm) matrix the
+        # chunked variant allocated (measured 4x on a 50k-doc batch; the
+        # permutation values are identical, see _splitmix_perms)
+        cat = np.concatenate([a for a in arrs if len(a)]).astype(np.uint64)
+        uniq, inv = np.unique(cat, return_inverse=True)
+        starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+        mins = np.empty((len(starts), num_perm), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(1, num_perm + 1):
+                z = (uniq + np.uint64(j) * np.uint64(0x9E3779B97F4A7C15)).astype(
+                    np.uint64
+                )
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                z ^= z >> np.uint64(31)
+                mins[:, j - 1] = np.minimum.reduceat(z[inv], starts)
             byband = mins.reshape(len(starts), bands, rows_per_band)
             # band key: mix the band's row-minima into one 64-bit key
             key = byband[:, :, 0]
             for r in range(1, rows_per_band):
                 key = (key ^ byband[:, :, r]) * np.uint64(0xBF58476D1CE4E5B9)
                 key ^= key >> np.uint64(29)
-            res = np.zeros((len(arrs), bands), dtype=np.int64)
-            res[nz] = key.view(np.int64)
-            out[c0 : c0 + len(arrs)] = res
-        return out
+        res = np.zeros((n, bands), dtype=np.int64)
+        res[nz] = key.view(np.int64)
+        return res
 
     @F.pandas_udf("array<long>")
     def band_arr(hs: pd.Series) -> pd.Series:
@@ -445,10 +458,14 @@ def minhash_lsh_pairs(
         .select("doc_id", F.array_except("hs0", "hot").alias("hs"))
         .where(F.size("hs") > 0)
     )
-    # persisted: the band-key Arrow pass feeds BOTH sides of the self-join
-    # below — without the cache the pandas UDF (the expensive stage) runs
-    # twice.  docs × bands rows of three longs: tiny at any scale.
-    band_rows = band_keys_from_grouped(grouped, num_perm, bands).persist()
+    # r8 shape — POSTING LISTS on the band key instead of a keyed self-join
+    # (the jaccard/simhash move): ONE hash aggregate groups the band rows
+    # into per-(band, bh) member lists, singleton buckets drop before any
+    # pair exists, and candidates come from a nested self-explode.  Same
+    # pairs as the equi self-join minus its two sort-merge sorts — and the
+    # band-key Arrow pass now has exactly ONE consumer, so the band_rows
+    # persist/unpersist lifecycle is gone with it.
+    band_rows = band_keys_from_grouped(grouped, num_perm, bands)
 
     # NO pre-verify distinct: a pair colliding in k bands reaches the verify
     # k ≤ bands times and is deduped AFTER the threshold filter — the wide
@@ -457,24 +474,31 @@ def minhash_lsh_pairs(
     # bounded by the band count over an LSH-bounded pair set (r5 VERDICT
     # 'what's wrong #2').
     cand = (
-        band_rows.alias("l")
-        .join(
-            band_rows.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        band_rows.groupBy("band", "bh")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where(F.size("ds") >= 2)
+        .select("ds")
+        .select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .where(F.col("a") < F.col("b"))
     )
 
-    # exact verify: Jaccard over the hashed shingle sets of candidate pairs
+    # exact verify: Jaccard over the hashed shingle sets of candidate pairs.
+    # The sets arrive UNSIGNED-ascending (the shingle pass lexsorts before
+    # dedup and array_except preserves first-argument order), so the
+    # intersection is one vectorized searchsorted per pair — no per-pair
+    # sort like intersect1d.
     @F.pandas_udf("double")
     def jacc(ha: pd.Series, hb: pd.Series) -> pd.Series:
         out = np.empty(len(ha))
         for i, (x, y) in enumerate(zip(ha, hb)):
-            xa = np.asarray(x, dtype=np.int64)
-            ya = np.asarray(y, dtype=np.int64)
-            inter = np.intersect1d(xa, ya).size
+            xa = np.asarray(x, dtype=np.int64).view(np.uint64)
+            ya = np.asarray(y, dtype=np.int64).view(np.uint64)
+            if xa.size > ya.size:
+                xa, ya = ya, xa
+            idx = np.searchsorted(ya, xa)
+            idx[idx == ya.size] = ya.size - 1
+            inter = int((ya[idx] == xa).sum())
             union = xa.size + ya.size - inter
             out[i] = inter / union if union else 0.0
         return pd.Series(out)
@@ -498,7 +522,6 @@ def minhash_lsh_pairs(
     # ContextCleaner once the caller drops it.
     out = out.localCheckpoint(eager=True)
     grouped_all.unpersist()
-    band_rows.unpersist()
     return out
 
 
@@ -713,20 +736,39 @@ def _simhash_batch(hs_list, chunk: int = 512) -> "np.ndarray":
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per doc: token → xxhash64 (JVM-side), then the bit
-    votes for ALL 64 planes in ONE Arrow-vectorized pass (collect_list +
-    numpy reduceat) — replaces a 64-column sum aggregate that dominated the
-    signature cost.  Sign rule: votes > 0 → bit 1."""
-    tokens = fan_out(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    grouped = tokens.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    votes for ALL 64 planes in ONE Arrow-vectorized pass (numpy reduceat).
+    Sign rule: votes > 0 → bit 1.
+
+    r8 shape — ONE MAP-ONLY ARROW PASS from text: tokenize (C-level split),
+    hash each DISTINCT token in the batch once with the vectorized XXH64
+    (``functions/xxh64_np`` — bit-identical to Spark's ``xxhash64``, pinned
+    by test), gather through the inverse index, and vote.  Replaces explode
+    → JVM xxhash64 → groupBy(collect_list) → Arrow vote: the pipeline's
+    only full-width shuffle (~3.3M exploded token rows at sf1.0) and its
+    per-row hash projection are gone, and the signature table keeps the
+    fanned-out input partitioning (the banding-complete exhaustive
+    self-join streams it, so its partition count is the BNLJ's
+    parallelism).  Signatures are bit-identical: same per-token XXH64,
+    and the vote sums are integer and order-insensitive."""
+    from govuk_crawler_worker_spark.functions.xxh64_np import xxh64_tokens_unique
 
     @F.pandas_udf("long")
-    def sim(hs: pd.Series) -> pd.Series:
-        return pd.Series(_simhash_batch(list(hs)))
+    def sim_text(texts: pd.Series) -> pd.Series:
+        tok_lists = [
+            t.split(" ") if isinstance(t, str) and t else [] for t in texts
+        ]
+        ndocs = len(tok_lists)
+        counts = np.fromiter((len(t) for t in tok_lists), np.int64, ndocs)
+        flat = [w for ts in tok_lists for w in ts]
+        if not flat:
+            return pd.Series(np.zeros(ndocs, dtype=np.int64))
+        hs = xxh64_tokens_unique(np.array(flat, dtype=np.str_))
+        per_doc = np.split(hs, np.cumsum(counts)[:-1])
+        return pd.Series(_simhash_batch(per_doc))
 
-    return grouped.select("doc_id", sim("hs").alias("simhash"))
+    return fan_out(docs).select(
+        F.col(id_col).alias("doc_id"), sim_text(F.col(text_col)).alias("simhash")
+    )
 
 
 def _simhash_blocks(n_blocks: int) -> list[tuple[int, int]]:
@@ -741,7 +783,7 @@ def _simhash_blocks(n_blocks: int) -> list[tuple[int, int]]:
 
 
 def simhash_candidates(
-    sig: DataFrame, max_hamming: int = 3, n_blocks: int = 6
+    sig: DataFrame, max_hamming: int = 3, n_blocks: int = 6, dedup: bool = True
 ) -> DataFrame:
     """Candidate pairs for Hamming ≤ h, sub-quadratic at corpus scale.
 
@@ -780,22 +822,45 @@ def simhash_candidates(
         "doc_id", "simhash", F.explode(F.array(*combo_keys)).alias("k")
     ).select("doc_id", "simhash", F.col("k.ci").alias("ci"), F.col("k.cv").alias("cv"))
 
-    return (
-        keyed.alias("l")
-        .join(
-            keyed.alias("r"),
-            (F.col("l.ci") == F.col("r.ci"))
-            & (F.col("l.cv") == F.col("r.cv"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
+    # r8 shape — POSTING LISTS instead of a keyed self-join (the jaccard
+    # move): ONE hash aggregate groups the combo-keyed rows into per-key
+    # member lists, singleton keys (the overwhelming majority — the combo
+    # key carries ~32 bits) drop with a size() filter before any pair is
+    # enumerated, and candidate pairs come from a nested self-explode of
+    # each list.  Same pairs as the equi self-join — minus its two
+    # sort-merge sorts of the 20x-replicated signature table, which
+    # dominated the candidate stage's profile (4.1 s -> 1.3 s at sf1.0).
+    # ``dedup=False`` additionally skips the multi-combo distinct so a
+    # consumer that FILTERS the candidates first (hamming verify) can dedup
+    # the few survivors instead of the full candidate set (guide §2.3:
+    # shuffle fewer bytes) — the pair SET is unchanged either way.
+    sig.sparkSession.conf.set(
+        # one posting list per combo key: Spark's object-hash aggregate
+        # falls back to SORT-based after 128 distinct keys per partition (a
+        # guard for unbounded collect_sets), which re-sorts the whole combo
+        # table; list sizes here are bounded by the ~32-bit banding key, so
+        # keep the hash path (measured 3.7 -> 2.1 s on the cand stage)
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "33554432",
+    )
+    lists = (
+        keyed.groupBy("ci", "cv")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
+        .where(F.size("ds") >= 2)
+        .select("ds")
+    )
+    pairs = (
+        lists.select(F.explode("ds").alias("l"), "ds")
+        .select("l", F.explode("ds").alias("r"))
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(
             F.col("l.doc_id").alias("a"),
             F.col("r.doc_id").alias("b"),
             F.col("l.simhash").alias("sa"),
             F.col("r.simhash").alias("sb"),
         )
-        .distinct()
     )
+    return pairs.distinct() if dedup else pairs
 
 
 def simhash_pairs(
@@ -808,11 +873,18 @@ def simhash_pairs(
     without persistence the (Arrow-aggregated) simhash64 pass runs twice —
     persist it: one row of (id, long) per doc, trivially cached."""
     sig = simhash64(docs, **kw).persist()
-    cand = simhash_candidates(sig, max_hamming=max_hamming, n_blocks=n_blocks)
+    # dedup AFTER the hamming filter: a multi-combo duplicate carries an
+    # identical (a, b, hamming) row, so deduping the few verified survivors
+    # instead of the full candidate set moves ~60x fewer rows through the
+    # distinct exchange (guide §2.3); the output pair set is unchanged
+    cand = simhash_candidates(
+        sig, max_hamming=max_hamming, n_blocks=n_blocks, dedup=False
+    )
     out = (
         cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .dropDuplicates(["a", "b"])
     )
     # materialize then release the cached signature (lineage truncated, so
     # repeated calls don't accrete cached blocks — r4 VERDICT leak fix)
@@ -841,11 +913,15 @@ def phash_near_dups(
     sig = hashes.select(
         F.col(id_col).alias("doc_id"), F.col(phash_col).alias("simhash")
     )
-    cand = simhash_candidates(sig, max_hamming=max_hamming, n_blocks=n_blocks)
+    # dedup after the hamming filter, not before — see simhash_pairs
+    cand = simhash_candidates(
+        sig, max_hamming=max_hamming, n_blocks=n_blocks, dedup=False
+    )
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .dropDuplicates(["a", "b"])
     )
 
 
@@ -980,9 +1056,7 @@ def embedding_near_dups(
         li = np.arange(n) if diag else np.flatnonzero(pdf["side"].to_numpy() == 0)
         ri = np.arange(n) if diag else np.flatnonzero(pdf["side"].to_numpy() == 1)
         if len(li) == 0 or len(ri) == 0:
-            return pd.DataFrame({"a": [], "b": [], "c": []}).astype(
-                {"a": "int64", "b": "int64", "c": "float64"}
-            )
+            return pd.DataFrame({"a": vids[:0], "b": vids[:0], "c": np.empty(0)})
         out_a, out_b, out_c = [], [], []
         lv, rv = mat[li], mat[ri]
         lvid, rvid = vids[li], vids[ri]
@@ -1005,9 +1079,7 @@ def embedding_near_dups(
                     out_b.append(np.maximum(av, bv))
                     out_c.append(cos[p, q])
         if not out_a:
-            return pd.DataFrame({"a": [], "b": [], "c": []}).astype(
-                {"a": "int64", "b": "int64", "c": "float64"}
-            )
+            return pd.DataFrame({"a": vids[:0], "b": vids[:0], "c": np.empty(0)})
         return pd.DataFrame(
             {
                 "a": np.concatenate(out_a),
@@ -1016,8 +1088,11 @@ def embedding_near_dups(
             }
         )
 
+    # the operator is id-type generic (the skew test uses string ids): the
+    # pair schema mirrors the caller's id column type
+    vid_t = dict(emb.dtypes)[id_col]
     cand = keyed.groupBy("block", "tbl", "bucket", "ga", "gb").applyInPandas(
-        _pairwise, "a long, b long, c double"
+        _pairwise, f"a {vid_t}, b {vid_t}, c double"
     )
     return (
         cand.select(
