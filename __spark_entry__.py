@@ -151,8 +151,19 @@ def _per_host_counts(spark, sf):
 
 
 def _host_budget_window(spark, sf):
-    # politeness budget: row_number over host partition ≤ budget
-    o = _t(spark, sf, "orders")
+    # politeness budget: row_number over host partition ≤ budget.
+    # r8: project to the three live columns, then spread a too-small scan
+    # over the executor's cores on a DETERMINISTIC derived key (guide §2.5:
+    # hash-repartition on pmod(xxhash64(id)) — round-robin would pay a local
+    # sort and is retry-unsafe at scale).  Spark's WindowGroupLimit then
+    # runs the rank ≤ 5 partial on every partition in parallel, so the
+    # window exchange — 5 priority keys, the skew that single-threaded the
+    # old plan — carries only partitions × 5 × 5 rows.  At production scale
+    # the scan already has ≥ parallelism partitions and this is a no-op.
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    par = spark.sparkContext.defaultParallelism
+    if o.rdd.getNumPartitions() < par:
+        o = o.repartition(par, F.pmod(F.xxhash64("o_orderkey"), F.lit(par * 37)))
     w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
     return (
         o.withColumn("rn", F.row_number().over(w))

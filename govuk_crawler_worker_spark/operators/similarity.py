@@ -1,11 +1,11 @@
 """Similarity search over embedding columns (array<float>).
 
-* brute_force_topk — exact cosine top-k: the correctness baseline.  Query
-  side is small → broadcast; dot products via JVM higher-order functions
-  (zip_with/aggregate over double) so the scan side never leaves the JVM.
-* lsh_topk        — multi-table sign-random-projection LSH + within-bucket
-  exact re-rank (vectorized matmul per Arrow batch).  At 100 TB the
-  (table, bucket) id is the shuffle key.
+* brute_force_topk — exact cosine top-k: the correctness baseline.  The
+  (bounded) query set rides in the scorer's closure; one fanned-out corpus
+  scan, batch-vectorized numpy scoring, margin-pruned partial top-k.
+* lsh_topk        — multi-table sign-random-projection LSH: candidates =
+  pairs sharing any table's bucket (exact-integer plane arithmetic, so an
+  external oracle re-derives identical ids), scored in the same pass.
 * ivf_topk        — the other classic scale path: a coarse quantizer
   (distributed k-means, Lloyd iterations expressed as DataFrame ops — the
   per-cluster mean is a posexplode + groupBy(cluster, pos) aggregate, so
@@ -37,6 +37,120 @@ def _with_norm(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+# -- r8 shared scorer machinery ----------------------------------------------
+#
+# All three top-k paths used to score candidates with a per-pair JVM
+# zip_with/aggregate fold (~6-9 µs per pair — the dominant cost once the
+# corpus side was fanned out).  They now share ONE shape: collect the
+# (bounded, already-broadcast-by-design) query set to the driver, and score
+# whole corpus batches against the query matrix inside a mapInPandas scorer
+# whose float64 accumulation runs in DIMENSION ORDER — reproducing the JVM
+# fold's left-to-right addition bit-for-bit (the contract proven for the
+# embedding pair stage: IEEE ops are deterministic, numpy ufuncs don't fuse
+# multiply-add, np.sqrt is correctly rounded like Math.sqrt).  Each scorer
+# emits only its batch's per-query top-k plus a 1.5e-4 margin — every pair
+# whose ROUNDED cosine could still reach the global top-k (4-dp rounding
+# moves a value by < 5e-5 + ulp, and two values that round equal differ by
+# < 1e-4) — so the rank exchange moves O(partitions × queries × k) rows and
+# the final round/row_number stay in Spark, exactly as before.
+
+_MARGIN = 1.5e-4
+
+
+def _dims_norm(mat: "np.ndarray") -> "np.ndarray":
+    """sqrt of the left-to-right fold of v*v over dims — bit-equal to the
+    JVM ``sqrt(aggregate(v, 0.0, (a, x) -> a + x*x))``."""
+    nsq = np.zeros(len(mat))
+    for i in range(mat.shape[1]):
+        nsq += mat[:, i] * mat[:, i]
+    return np.sqrt(nsq)
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Driver-side query matrix — the same bounded set every prior shape
+    collected for its broadcast side."""
+    rows = queries.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).collect()
+    qids = np.array([r["vid"] for r in rows])
+    qmat = (
+        np.array([r["v"] for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 1))
+    )
+    return qids, qmat
+
+
+def _dim_order_cosines(qmat, qnorm, mat, nrm):
+    """(queries × batch) raw cosines with dim-order accumulation."""
+    acc = np.zeros((len(qmat), len(mat)))
+    for i in range(mat.shape[1]):
+        acc += np.outer(qmat[:, i], mat[:, i])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return acc / np.outer(qnorm, nrm)
+
+
+def _topk_margin_emit(n_q, cos, mask, k):
+    """Per-(batch, query) margin top-k: indices/values of every masked pair
+    within _MARGIN of the query's k-th best raw cosine in this batch."""
+    out_q, out_n, out_c = [], [], []
+    for qi in range(n_q):
+        idx = np.flatnonzero(mask[qi])
+        if len(idx) == 0:
+            continue
+        vals = cos[qi][idx]
+        if len(idx) > k:
+            kth = np.partition(vals, len(vals) - k)[len(vals) - k]
+            keep = vals >= kth - _MARGIN
+            idx, vals = idx[keep], vals[keep]
+        out_q.append(np.full(len(idx), qi, dtype=np.int64))
+        out_n.append(idx)
+        out_c.append(vals)
+    if not out_q:
+        return None
+    return np.concatenate(out_q), np.concatenate(out_n), np.concatenate(out_c)
+
+
+def _scored_topk(emb, id_col, vec_col, k, make_mask, qids, qmat):
+    """Corpus scan → mapInPandas scorer → Spark-side round + rank ≤ k.
+
+    ``make_mask(bvids, mat) -> (queries × batch) bool`` selects the
+    candidate pairs of each batch (self-matches are always excluded)."""
+    qnorm = _dims_norm(qmat) if len(qids) else np.zeros(0)
+    vid_t = dict(emb.dtypes)[id_col]
+    corpus = fan_out(emb).select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:
+                continue
+            bvids = pdf["vid"].to_numpy()
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            mask = make_mask(bvids, mat)
+            mask &= qids[:, None] != bvids[None, :]
+            if not mask.any():
+                continue
+            cos = _dim_order_cosines(qmat, qnorm, mat, _dims_norm(mat))
+            got = _topk_margin_emit(len(qids), cos, mask, k)
+            if got is None:
+                continue
+            q, n, c = got
+            yield pd.DataFrame({"qid": qids[q], "neighbor": bvids[n], "c": c})
+
+    scored = corpus.mapInPandas(score, f"qid {vid_t}, neighbor {vid_t}, c double")
+    scored = scored.select("qid", "neighbor", F.round("c", 4).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "neighbor", "cosine")
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -46,39 +160,18 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus (self excluded).
 
-    queries ⋈ corpus is a broadcast nested-loop by construction (queries
-    small); rank = row_number over (query) ordered by (cosine desc, id).
+    r8 shape: one fanned-out corpus scan through the shared mapInPandas
+    scorer (see above) — the query set is the closure, so the corpus is
+    never joined, shuffled, or replicated; the only exchange after the scan
+    carries the margin-pruned per-partition top-k rows into the final
+    row_number.  Values are bit-identical to the former broadcast
+    nested-loop + JVM-fold plan (verified row-exact at sf0.1 and sf1.0)."""
+    qids, qmat = _collect_queries(queries, id_col, vec_col)
 
-    The corpus side is fanned out to the executor's parallelism: the BNLJ
-    streams corpus partitions, so a 1-2 partition parquet scan would run the
-    entire O(|Q|·|C|) dot-product stage on 1-2 cores (measured 25.9 s → 1.9 s
-    at sf1.0 on local[32]).  The rank ≤ k filter is pushed map-side by
-    Spark's WindowGroupLimit, so the post-join shuffle carries only
-    partitions × queries × k rows."""
-    corpus = _with_norm(fan_out(emb), id_col, vec_col)
-    q = _with_norm(queries, id_col, vec_col).select(
-        F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        F.broadcast(q)
-        .join(corpus, F.col("qid") != F.col("vid"))
-        .select(
-            "qid",
-            F.col("vid").alias("neighbor"),
-            F.round(dot / (F.col("qnorm") * F.col("norm")), 4).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qid", "rank", "neighbor", "cosine")
-    )
+    def all_pairs(bvids, mat):
+        return np.ones((len(qids), len(bvids)), dtype=bool)
+
+    return _scored_topk(emb, id_col, vec_col, k, all_pairs, qids, qmat)
 
 
 #: fixed-point scale for the sign decision: vectors are floor-scaled by 2^20
@@ -198,48 +291,35 @@ def lsh_topk(
     Per-neighbor recall = 1-(1-(1-θ/π)^b)^L — tune (b, L) to the similarity
     regime: near-dup retrieval (cos ≥ 0.9) takes b=16, L=8 at corpus scale;
     the defaults here target the weak-neighbor regime (cos ≈ 0.3-0.45) of
-    the synthetic test embeddings.  Shuffle key = (table, bucket): uniform by
-    construction, never whole-corpus quadratic; candidate volume ≈
-    L·n/2^b per query."""
-    buckets = lsh_buckets_udf(dim, n_planes, n_tables)
-    corpus = (
-        _with_norm(fan_out(emb), id_col, vec_col)
-        .withColumn("bs", buckets("v"))
-        .select("vid", "v", "norm", F.posexplode("bs").alias("table", "bucket"))
+    the synthetic test embeddings.
+
+    r8 shape: the shared mapInPandas scorer computes each corpus batch's
+    bucket ids with the SAME exact-integer plane arithmetic the bucket UDF
+    used (seeded generator → identical ids) and masks to pairs sharing ANY
+    table's bucket, so the candidate set is unchanged while the bucket
+    explode, the (table, bucket) join and the per-pair dedup aggregate all
+    disappear — each (query, vector) pair is evaluated at most once per
+    batch by construction.  Row-exact equal to the former plan at sf0.1 and
+    sf1.0."""
+    qids, qmat = _collect_queries(queries, id_col, vec_col)
+    weights = 1 << np.arange(n_planes)
+
+    def buckets_of(mat):
+        p = _planes(mat.shape[1], n_planes * n_tables, 42)
+        signs = (_quantize(mat) @ p.T) > 0
+        return signs.reshape(len(mat), n_tables, n_planes).dot(weights).astype(np.int64)
+
+    qb = (
+        buckets_of(qmat)
+        if len(qids)
+        else np.zeros((0, n_tables), dtype=np.int64)
     )
-    q = (
-        _with_norm(queries, id_col, vec_col)
-        .withColumn("bs", buckets("v"))
-        .select(
-            F.col("vid").alias("qid"),
-            F.col("v").alias("qv"),
-            F.col("norm").alias("qnorm"),
-            F.posexplode("bs").alias("table", "bucket"),
-        )
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        F.broadcast(q)
-        .join(corpus, ["table", "bucket"])
-        .where(F.col("qid") != F.col("vid"))
-        # a pair colliding in several tables must score ONCE
-        .groupBy("qid", F.col("vid").alias("neighbor"))
-        .agg(
-            F.first(
-                F.round(dot / (F.col("qnorm") * F.col("norm")), 4)
-            ).alias("cosine")
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qid", "rank", "neighbor", "cosine")
-    )
+
+    def shares_bucket(bvids, mat):
+        cb = buckets_of(mat)
+        return (qb[:, None, :] == cb[None, :, :]).any(axis=2)
+
+    return _scored_topk(emb, id_col, vec_col, k, shares_bucket, qids, qmat)
 
 
 # -- IVF (inverted-file) ANN --------------------------------------------------
@@ -342,58 +422,33 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF ANN: corpus sharded into ``nlist`` inverted lists by the coarse
     quantizer; each query probes its ``nprobe`` nearest lists and re-ranks
-    exactly (JVM zip_with/aggregate).  Shuffle key = list id; candidate
-    volume ≈ corpus × nprobe / nlist per query."""
-    if centroids is None:
-        # NB: kmeans_fit keeps the INPUT partitioning — its per-cluster avg()
-        # is a float sum whose accumulation order (hence last-ulp centroid
-        # values) depends on partitioning, and the seeded quantizer must stay
-        # bit-reproducible run-to-run.  Only the probe join side fans out.
-        centroids = kmeans_fit(emb, k=nlist, iters=iters, dim=dim, vec_col=vec_col)
-    assign = _assign_udf(centroids)
-    corpus = _with_norm(fan_out(emb), id_col, vec_col).withColumn(
-        "list_id", assign("v")
-    )
+    exactly.
 
+    r8 shape: the shared mapInPandas scorer assigns each corpus batch to
+    its inverted list with the SAME numpy ops the assignment UDF used
+    (normalize → argmax over the closure-broadcast centroid matrix) and
+    masks to pairs whose list is among the query's ``nprobe`` probes — the
+    identical candidate set, with the probe explode and the list_id join
+    gone.  The seeded quantizer itself (``kmeans_fit``) is untouched: its
+    aggregation order pins the last-ulp centroid values run-to-run.
+    Row-exact equal to the former plan at sf0.1 and sf1.0 across the
+    seeded, covering, and fixed-quantizer configurations."""
+    if centroids is None:
+        centroids = kmeans_fit(emb, k=nlist, iters=iters, dim=dim, vec_col=vec_col)
     cnorm = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
+    qids, qmat = _collect_queries(queries, id_col, vec_col)
+    if len(qids):
+        qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(qn @ cnorm.T), axis=1)[:, :nprobe]
+        probe_mask = np.zeros((len(qids), len(centroids)), dtype=bool)
+        probe_mask[np.arange(len(qids))[:, None], order] = True
+    else:
+        probe_mask = np.zeros((0, len(centroids)), dtype=bool)
 
-    @F.pandas_udf("array<int>")
-    def probe_lists(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(m @ cnorm.T), axis=1)[:, :nprobe].astype(np.int32)
-        return pd.Series(list(order))
+    def probed(bvids, mat):
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return probe_mask[:, (mn @ cnorm.T).argmax(axis=1)]
 
-    q = (
-        _with_norm(queries, id_col, vec_col)
-        .withColumn("probes", probe_lists("v"))
-        .select(
-            F.col("vid").alias("qid"),
-            F.col("v").alias("qv"),
-            F.col("norm").alias("qnorm"),
-            F.explode("probes").alias("list_id"),
-        )
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        F.broadcast(q)
-        .join(corpus, "list_id")
-        .where(F.col("qid") != F.col("vid"))
-        .select(
-            "qid",
-            F.col("vid").alias("neighbor"),
-            F.round(dot / (F.col("qnorm") * F.col("norm")), 4).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qid", "rank", "neighbor", "cosine")
-    )
+    return _scored_topk(emb, id_col, vec_col, k, probed, qids, qmat)

@@ -116,41 +116,39 @@ class TestPairOperatorPlans:
 
 
 class TestAnnPlans:
-    def test_brute_force_broadcasts_queries_not_corpus(self, emb):
+    def test_brute_force_scores_in_one_corpus_pass(self, emb):
         from govuk_crawler_worker_spark.operators.similarity import brute_force_topk
 
         queries = emb.where(F.col("vec_id") % 100 == 0)
         plan = plan_of(brute_force_topk(emb, queries))
-        # queries × corpus under a non-equi predicate IS a broadcast
-        # nested-loop by design — but the broadcast side must be the
-        # filtered query set, never the full corpus
-        assert "BroadcastNestedLoopJoin" in plan
-        subs = broadcast_subtrees(plan)
-        assert subs, f"no broadcast in plan:\n{plan}"
-        assert any("% 100" in s for s in subs), (
-            "broadcast side is not the filtered query set:\n" + plan
-        )
+        # r8 scorer shape: the corpus is never joined or replicated — the
+        # query matrix rides in the mapInPandas closure, so the plan must
+        # hold NO join of any kind and exactly one scorer node
+        assert "MapInPandas" in plan
+        for node in ("CartesianProduct", "BroadcastNestedLoopJoin", "Join"):
+            assert node not in plan, f"unexpected {node} in plan:\n{plan}"
 
-    def test_ivf_probe_is_hash_join_on_list_id(self, emb):
+    def test_ivf_scores_in_one_corpus_pass(self, emb):
         from govuk_crawler_worker_spark.operators.similarity import ivf_topk
 
         queries = emb.where(F.col("vec_id") % 100 == 0)
         plan = plan_of(ivf_topk(emb, queries, k=5, nlist=4, nprobe=2, iters=1))
-        # the probe is an equi-join on list_id (candidates ≈ corpus ×
-        # nprobe/nlist); a cartesian here would defeat the inverted file
-        assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
-        assert "BroadcastHashJoin" in plan
+        # inverted-list pruning happens inside the scorer (probe-mask
+        # gather); the corpus is scanned once and never joined
+        assert "MapInPandas" in plan
+        for node in ("CartesianProduct", "BroadcastNestedLoopJoin", "Join"):
+            assert node not in plan, f"unexpected {node} in plan:\n{plan}"
 
-    def test_lsh_topk_is_bucket_equi_join(self, emb):
+    def test_lsh_topk_scores_in_one_corpus_pass(self, emb):
         from govuk_crawler_worker_spark.operators.similarity import lsh_topk
 
         queries = emb.where(F.col("vec_id") % 100 == 0)
         plan = plan_of(lsh_topk(emb, queries, k=5))
-        # multi-table sign-LSH: candidates come from equality on
-        # (table, bucket) keys
-        assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
+        # multi-table sign-LSH candidate masking happens inside the scorer;
+        # no bucket explode, no (table, bucket) join, no cartesian
+        assert "MapInPandas" in plan
+        for node in ("CartesianProduct", "BroadcastNestedLoopJoin", "Join"):
+            assert node not in plan, f"unexpected {node} in plan:\n{plan}"
 
 
 class TestColumnPruning:
