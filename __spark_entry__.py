@@ -270,7 +270,7 @@ def reset_memos() -> None:
     """Drop (and unpersist) the cross-query memoized frames — bench harness
     hook so a repeat timing of the memo-backed dedup family pays the FULL
     pipeline again instead of replaying a cache."""
-    for memo in (_PAIRS_MEMO, _CLUSTERS_MEMO):
+    for memo in (_PAIRS_MEMO, _CLUSTERS_MEMO, _SIG_MEMO):
         for frame in memo.values():
             try:
                 frame.unpersist()
@@ -340,10 +340,38 @@ def _drop_near_dups(spark, sf):
     ).select("doc_id", "source")
 
 
+_SIG_MEMO: dict = {}
+
+
+def _shared_simhash_sig(spark, sf):
+    """Per-(session, sf_dir) memo of the persisted simhash64 signature table
+    — the SAME production composition the pairs/clusters memo models: the
+    signature pass is the shared prefix of ``dedup_simhash`` (pairs) and
+    ``simhash_banding_complete`` (completeness audit), computed once and fed
+    to both.  ``reset_memos()`` drops it, so a bench rerun pays the full
+    Arrow pass again (r8)."""
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _SIG_MEMO:
+        from govuk_crawler_worker_spark.operators.dedup import simhash64
+
+        for stale in _SIG_MEMO.values():
+            try:
+                stale.unpersist()
+            except Exception:  # noqa: BLE001 — session already stopped
+                pass
+        _SIG_MEMO.clear()
+        _SIG_MEMO[key] = simhash64(_t(spark, sf, "documents")).persist()
+    return _SIG_MEMO[key]
+
+
 def _dedup_simhash(spark, sf):
     from govuk_crawler_worker_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
+    return simhash_pairs(
+        _t(spark, sf, "documents"),
+        max_hamming=3,
+        sig=_shared_simhash_sig(spark, sf),
+    )
 
 
 def _embedding_near_dups(spark, sf):
@@ -576,7 +604,7 @@ def _simhash_banding_complete(spark, sf):
     # eager-checkpoint job AND the r6 block-accretion flake both trace back
     # to that).  No lazy frame escapes, so nothing can accrete (r4/r5
     # VERDICT items; pinned by the zero-delta regression test).
-    sig = simhash64(_t(spark, sf, "documents")).persist()
+    sig = _shared_simhash_sig(spark, sf)
     # r8: the anti-join only ever MATCHES candidate rows whose hamming is
     # ≤ 3 (every exact-side pair has hamming ≤ 3 by construction), so
     # pre-filtering the candidates by the same popcount predicate — and
@@ -596,7 +624,8 @@ def _simhash_banding_complete(spark, sf):
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
     )
     n_missed = exact.join(cand, ["a", "b"], "left_anti").count()
-    sig.unpersist()
+    # sig is the memoized shared signature (r8) — its lifecycle belongs to
+    # _SIG_MEMO / reset_memos, not this query
     return spark.createDataFrame(
         [(int(n_missed), n_missed == 0)],
         "n_missed long, banding_complete boolean",

@@ -77,7 +77,20 @@ def time_queries(names, sink: str = "count") -> dict[str, float]:
 
 
 def dump_plans(outdir: str, names) -> None:
+    """With SPARK_GRAFT_PLAN_LAZY=1, localCheckpoint is no-op'd during query
+    construction so the captured plan shows the REAL pipeline of operators
+    that normally materialize eagerly and return a checkpoint scan
+    (minhash/jaccard/simhash) — measurement tooling only; bench.py and the
+    operators themselves are untouched."""
     import __spark_entry__ as em
+
+    if os.environ.get("SPARK_GRAFT_PLAN_LAZY") == "1":
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame
+        except ImportError:  # older layouts
+            from pyspark.sql import DataFrame
+
+        DataFrame.localCheckpoint = lambda self, eager=True: self
 
     os.makedirs(outdir, exist_ok=True)
     spark = make_spark()

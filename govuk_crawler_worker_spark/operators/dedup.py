@@ -96,6 +96,12 @@ def jaccard_word_pairs(
     CPU profile.  The df cap bounds every list at ``max_word_df`` entries,
     so the explode stays sub-quadratic at 100 TB exactly as before."""
     ws = _word_sets(fan_out(docs), text_col, id_col, block_col)
+    # posting-list aggregates: keep the object-hash aggregation path — the
+    # default 128-key sort-based fallback re-sorts the whole exploded table
+    # (see simhash_candidates; lists here are df-capped at max_word_df)
+    docs.sparkSession.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "33554432"
+    )
     # the posting key is xxhash64(block ␟ word): one 8-byte long instead of
     # two strings through the shuffle (a 64-bit collision across the
     # ~1e5-entry vocabulary is ~1e-9 — far below any other error source)
@@ -503,9 +509,21 @@ def minhash_lsh_pairs(
             out[i] = inter / union if union else 0.0
         return pd.Series(out)
 
+    # SHUFFLE_HASH: build the per-partition hash table on the (smaller,
+    # doc-count-bounded) set side instead of sort-merging both sides — the
+    # candidate side is the one carrying no payload yet, and skipping its
+    # two sorts is pure win (guide §3.1); equi-join keys are unchanged
     pairs = cand.join(
-        grouped.select(F.col("doc_id").alias("a"), F.col("hs").alias("hs_a")), "a"
-    ).join(grouped.select(F.col("doc_id").alias("b"), F.col("hs").alias("hs_b")), "b")
+        grouped.hint("SHUFFLE_HASH").select(
+            F.col("doc_id").alias("a"), F.col("hs").alias("hs_a")
+        ),
+        "a",
+    ).join(
+        grouped.hint("SHUFFLE_HASH").select(
+            F.col("doc_id").alias("b"), F.col("hs").alias("hs_b")
+        ),
+        "b",
+    )
     out = (
         pairs.withColumn("jaccard", F.round(jacc("hs_a", "hs_b"), 4))
         .where(F.col("jaccard") >= jaccard_threshold)
@@ -864,15 +882,25 @@ def simhash_candidates(
 
 
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 3, n_blocks: int = 6, **kw
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 6,
+    sig: DataFrame | None = None,
+    **kw,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ h: sub-quadratic pigeonhole
     banding (see ``simhash_candidates``) + exact popcount verify.
 
     The signature table feeds BOTH sides of the candidate self-join, so
     without persistence the (Arrow-aggregated) simhash64 pass runs twice —
-    persist it: one row of (id, long) per doc, trivially cached."""
-    sig = simhash64(docs, **kw).persist()
+    persist it: one row of (id, long) per doc, trivially cached.  ``sig``
+    optionally supplies a precomputed (and caller-persisted, caller-owned)
+    simhash64 frame — the production composition: a pipeline that wants
+    pairs AND the banding-completeness audit computes the signature pass
+    once and feeds both consumers."""
+    owns_sig = sig is None
+    if owns_sig:
+        sig = simhash64(docs, **kw).persist()
     # dedup AFTER the hamming filter: a multi-combo duplicate carries an
     # identical (a, b, hamming) row, so deduping the few verified survivors
     # instead of the full candidate set moves ~60x fewer rows through the
@@ -887,9 +915,11 @@ def simhash_pairs(
         .dropDuplicates(["a", "b"])
     )
     # materialize then release the cached signature (lineage truncated, so
-    # repeated calls don't accrete cached blocks — r4 VERDICT leak fix)
+    # repeated calls don't accrete cached blocks — r4 VERDICT leak fix);
+    # a caller-supplied sig keeps the caller's lifecycle
     out = out.localCheckpoint(eager=True)
-    sig.unpersist()
+    if owns_sig:
+        sig.unpersist()
     return out
 
 
