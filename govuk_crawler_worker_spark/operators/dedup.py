@@ -509,21 +509,13 @@ def minhash_lsh_pairs(
             out[i] = inter / union if union else 0.0
         return pd.Series(out)
 
-    # SHUFFLE_HASH: build the per-partition hash table on the (smaller,
-    # doc-count-bounded) set side instead of sort-merging both sides — the
-    # candidate side is the one carrying no payload yet, and skipping its
-    # two sorts is pure win (guide §3.1); equi-join keys are unchanged
+    # attach joins: hint-free — AQE picks broadcast-hash when the set side
+    # is small (the sandbox sf0.1 regime) and sort-merge/shuffled-hash when
+    # it isn't; a forced SHUFFLE_HASH measured faster once at sf1.0 but
+    # forbids the runtime broadcast conversion and cost ~0.5 s at sf0.1
     pairs = cand.join(
-        grouped.hint("SHUFFLE_HASH").select(
-            F.col("doc_id").alias("a"), F.col("hs").alias("hs_a")
-        ),
-        "a",
-    ).join(
-        grouped.hint("SHUFFLE_HASH").select(
-            F.col("doc_id").alias("b"), F.col("hs").alias("hs_b")
-        ),
-        "b",
-    )
+        grouped.select(F.col("doc_id").alias("a"), F.col("hs").alias("hs_a")), "a"
+    ).join(grouped.select(F.col("doc_id").alias("b"), F.col("hs").alias("hs_b")), "b")
     out = (
         pairs.withColumn("jaccard", F.round(jacc("hs_a", "hs_b"), 4))
         .where(F.col("jaccard") >= jaccard_threshold)
