@@ -128,18 +128,26 @@ def _scored_topk(emb, id_col, vec_col, k, make_mask, qids, qmat):
         for pdf in batches:
             if len(pdf) == 0 or len(qids) == 0:
                 continue
-            bvids = pdf["vid"].to_numpy()
-            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            mask = make_mask(bvids, mat)
-            mask &= qids[:, None] != bvids[None, :]
-            if not mask.any():
-                continue
-            cos = _dim_order_cosines(qmat, qnorm, mat, _dims_norm(mat))
-            got = _topk_margin_emit(len(qids), cos, mask, k)
-            if got is None:
-                continue
-            q, n, c = got
-            yield pd.DataFrame({"qid": qids[q], "neighbor": bvids[n], "c": c})
+            all_vids = pdf["vid"].to_numpy()
+            all_mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            # slice the batch so the (queries × rows) cosine matrix stays a
+            # few MB regardless of |Q| or batch size (guide §5: bound
+            # per-task state) — per-pair values and the margin-top-k
+            # guarantee are slice-independent, so results are unchanged
+            step = max(1, 4_000_000 // max(len(qids), 1))
+            for c0 in range(0, len(all_mat), step):
+                bvids = all_vids[c0 : c0 + step]
+                mat = all_mat[c0 : c0 + step]
+                mask = make_mask(bvids, mat)
+                mask &= qids[:, None] != bvids[None, :]
+                if not mask.any():
+                    continue
+                cos = _dim_order_cosines(qmat, qnorm, mat, _dims_norm(mat))
+                got = _topk_margin_emit(len(qids), cos, mask, k)
+                if got is None:
+                    continue
+                q, n, c = got
+                yield pd.DataFrame({"qid": qids[q], "neighbor": bvids[n], "c": c})
 
     scored = corpus.mapInPandas(score, f"qid {vid_t}, neighbor {vid_t}, c double")
     scored = scored.select("qid", "neighbor", F.round("c", 4).alias("cosine"))
